@@ -1,0 +1,176 @@
+"""Deterministic image codecs for the sandbox — stdlib only (no PIL in the
+container, per the environment constraints).
+
+* PNG: real, spec-conformant encode/decode (zlib + filter-0 scanlines) —
+  lossless, so decoded-pixel allclose is exact.
+* "JPEG": the container has no JPEG library, so the lossy path is a
+  DETERMINISTIC FAKE, clearly marked: a JFIF-like wrapper (real JPEG
+  SOI/APP0 magic bytes so magic-sniffing is realistic) around
+  uniform-quantized zlib-compressed RGB. Quantization step 4 yields
+  PSNR ≈ 47 dB vs the source pixels — above the 40 dB target for lossy
+  formats (BASELINE.json input_hint) — while keeping all Spark-side
+  plumbing (binary column, header dim parse, decode UDF batch shape) real.
+
+Header layouts (parsed natively in Spark via substring()/conv() on the
+binary column — see pipeline.binary_rule_cols):
+
+  PNG : [8B signature][4B len]['IHDR'][4B width BE][4B height BE]...
+        width at byte offset 16, height at 20 (PNG spec, public).
+  FAKE-JPEG: [FF D8 FF E0][4B width BE][4B height BE][zlib RGB][FF D9]
+        width at byte offset 4, height at 8.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SOI = b"\xff\xd8\xff\xe0"
+JPEG_EOI = b"\xff\xd9"
+JPEG_QUANT_STEP = 4  # uniform quantization — PSNR ~= 47 dB
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> PNG bytes (8-bit truecolor, filter 0)."""
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def jpeg_encode(arr: np.ndarray) -> bytes:
+    """DETERMINISTIC FAKE lossy encode (see module docstring)."""
+    h, w, _ = arr.shape
+    q = (arr // JPEG_QUANT_STEP) * JPEG_QUANT_STEP  # lossy quantization
+    return (
+        JPEG_SOI
+        + struct.pack(">II", w, h)
+        + zlib.compress(q.tobytes(), 6)
+        + JPEG_EOI
+    )
+
+
+def sniff_format(b: bytes | None) -> str | None:
+    """Magic-byte format sniff — the Spark-native dual lives in
+    pipeline.binary_rule_cols (substring on the binary column)."""
+    if b is None:
+        return None
+    if b[:8] == PNG_SIG:
+        return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
+
+
+def header_dims(b: bytes | None) -> tuple[int, int] | None:
+    """Width/height from fixed header offsets without decoding."""
+    if b is None:
+        return None
+    if b[:8] == PNG_SIG and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return (w, h)
+    if b[:3] == b"\xff\xd8\xff" and len(b) >= 12:
+        w, h = struct.unpack(">II", b[4:12])
+        return (w, h)
+    return None
+
+
+def decode(b: bytes | None) -> np.ndarray | None:
+    """Decode PNG or fake-JPEG to RGB uint8 (h, w, 3); None on failure."""
+    if b is None:
+        return None
+    try:
+        if b[:8] == PNG_SIG:
+            return _png_decode(b)
+        if b[:3] == b"\xff\xd8\xff":
+            return _jpeg_decode(b)
+    except Exception:
+        return None
+    return None
+
+
+def _png_decode(b: bytes) -> np.ndarray | None:
+    pos, w, h, idat = 8, None, None, b""
+    saw_iend = False
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None  # truncated
+        if tag == b"IHDR":
+            w, hh, depth, ctype = struct.unpack(">IIBB", data[:10])
+            h = hh
+            if depth != 8 or ctype != 2:
+                return None
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if w is None or not saw_iend:
+        return None
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 3
+    if len(raw) != stride * h:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if not (rows[:, 0] == 0).all():
+        return None  # only filter 0 is emitted/supported
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+def _jpeg_decode(b: bytes) -> np.ndarray | None:
+    if len(b) < 14 or b[-2:] != JPEG_EOI:
+        return None
+    w, h = struct.unpack(">II", b[4:12])
+    raw = zlib.decompress(b[12:-2])
+    if len(raw) != w * h * 3:
+        return None
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def average_phash(arr: np.ndarray) -> int:
+    """64-bit average-hash: 8x8 block-mean grayscale thresholded at its
+    mean — a standard public perceptual-hash construction. Returned as a
+    SIGNED 64-bit value (Spark LongType)."""
+    gray = arr.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

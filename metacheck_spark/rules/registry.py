@@ -443,6 +443,14 @@ _RULES = [
     Rule("P028", "P", "caption", "raw SWHID in caption", "text", _p028_spark, lambda s, ctx=None: _p028_py(s),
          duckdb="regexp_matches({c}, '(^| )swh:1:[a-z]{{3}}:[0-9a-f]{{40}}($|[ .,;])')"),
     Rule("X001", "P", "sanity", "image bytes fail to decode (engine extension)", "binary", py=_x001_py),
+    # Model-stage rules (engine extensions; the north_star's fastText-style
+    # langid + KenLM-style perplexity scorer as drop criteria). Evaluated
+    # from the lang/conf/ppl columns the pandas-UDF stage produces; the
+    # oracle computes the same columns with the identical batch functions.
+    Rule("X002", "P", "model", "language unidentifiable (langid confidence below threshold)", "model",
+         py=lambda _s, ctx: ctx["lang"] == "und"),
+    Rule("X003", "P", "model", "caption log-perplexity above threshold", "model",
+         py=lambda _s, ctx: ctx["ppl"] > ctx["ppl_threshold"]),
 ]
 
 REGISTRY: list[Rule] = [
@@ -453,6 +461,7 @@ REGISTRY: list[Rule] = [
 TEXT_RULES: list[Rule] = [r for r in REGISTRY if r.kind == "text"]
 URL_RULES: list[Rule] = [r for r in REGISTRY if r.kind == "url"]
 BINARY_RULES: list[Rule] = [r for r in REGISTRY if r.kind == "binary"]
+MODEL_RULES: list[Rule] = [r for r in REGISTRY if r.kind == "model"]
 # Rules whose predicate is RE2-expressible for the driver's DuckDB oracle
 DUCKDB_SAFE: list[Rule] = [r for r in REGISTRY if r.duckdb is not None]
 
