@@ -13,9 +13,19 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metacheck_spark.functions.text import (
+    bpe_ish_count,
+    digit_ratio,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from metacheck_spark.operators import dedup as D
+from metacheck_spark.operators import similarity as S
 from metacheck_spark.plans.quality import rule_counts
 from metacheck_spark.rules.registry import DUCKDB_SAFE
 
@@ -154,11 +164,309 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup operators (documents corpus has no organic dups, so both sides seed
+# exact copies / near-variants deterministically from doc_id).
+
+
+def _with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionAll(copies)
+
+
+_EXACT_COPIES_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_with_exact_copies(spark, sf_dir), "text", "doc_id")
+
+
+_EXACT_DEDUP_SQL = f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM ({_EXACT_COPIES_SQL})
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fingerprint(_documents(spark, sf_dir), "text", "doc_id")
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text").filter(F.col("doc_id") < 150)
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    return d.unionAll(variants)
+
+
+_NEAR_DUPS_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id < 150
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+FROM documents WHERE doc_id % 7 = 0 AND doc_id < 150
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _with_near_dups(spark, sf_dir), "text", "doc_id", n=2, threshold=0.8
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH base AS ({_NEAR_DUPS_SQL}),
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+             i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text), '\\s+')[i+1]
+           )
+         ) AS sh
+  FROM base
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only driver check; recall/precision vs
+    brute-force Jaccard asserted in tests/test_dedup_similarity.py)."""
+    return D.minhash_dedup_pairs(
+        _with_near_dups(spark, sf_dir), "text", "doc_id", threshold=0.8
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only driver check; verified in pytest)."""
+    return D.simhash_dup_pairs(_with_near_dups(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_count(c).alias("n_bpe"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(digit_ratio(c), 6).alias("digit_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+    )
+
+
+_TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> list_contains(['the','a','of','in','and','to','is','for','with','on',
+                                 'el','la','de','en','y','le','et','der','die','und'], x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE n_tok END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+|[0-9]+|[^\\sA-Za-zÀ-ɏ0-9]')) AS n_bpe,
+       round(CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n > 0 THEN n_digit::DOUBLE / n ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       round((CASE WHEN n_tok BETWEEN 5 AND 200 THEN 1.0 ELSE 0.4 END) *
+             (1.0 - least((n_punct::DOUBLE / n) + (n_digit::DOUBLE / n), 1.0)), 6) AS quality
+FROM t
+"""
+
+
+def q_lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_LANG_DOC_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.cosine_topk(emb, qvec, k=15)
+
+
+_COSINE_TOPK_SQL = """
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+FROM embeddings,
+     (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos DESC, vec_id
+LIMIT 15
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (rows-only driver check; recall vs brute
+    force asserted in pytest)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.lsh_topk(emb, qvec, k=15, bits=6)
+
+
+# ---------------------------------------------------------------------------
+# Windows / joins / JSON scalar functions (SURVEY.md §2.5, §2.3, §2.7)
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
+_TOPK_PER_GROUP_SQL = """
+SELECT event_type, rn, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact lineitem joined to broadcast dimensions,
+    grouped by nation (the reference's only join is broadcast-dim shaped,
+    SURVEY.md §2.3)."""
+    li = _lineitem(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_JOIN_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_large"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CASE WHEN cast(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_large
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + aggregation (W004-family datetime handling)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_counts": q_rule_counts,
         "rule_flags": q_rule_flags,
         "agg_pricing": q_agg_pricing,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "text_quality": q_text_quality,
+        "lang_doc_stats": q_lang_doc_stats,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "topk_per_group": q_topk_per_group,
+        "join_revenue": q_join_revenue,
+        "events_json": q_events_json,
+        "events_daily": q_events_daily,
     }
 
 
@@ -167,4 +475,17 @@ def oracle_sql() -> dict[str, str]:
         "rule_counts": _rule_counts_sql(),
         "rule_flags": _rule_flags_sql(),
         "agg_pricing": _AGG_PRICING_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # minhash_pairs / simhash_pairs / lsh_topk: xxhash64 / FNV / LSH
+        # bucketing are not DuckDB-expressible -> rows-only driver check;
+        # recall+precision asserted against brute force in pytest.
+        "text_quality": _TEXT_QUALITY_SQL,
+        "lang_doc_stats": _LANG_DOC_STATS_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "topk_per_group": _TOPK_PER_GROUP_SQL,
+        "join_revenue": _JOIN_REVENUE_SQL,
+        "events_json": _EVENTS_JSON_SQL,
+        "events_daily": _EVENTS_DAILY_SQL,
     }

@@ -1,0 +1,331 @@
+"""Deduplication operators for training-data pipelines — exact,
+MinHash+LSH, SimHash, and n-gram Jaccard. All candidate generation is
+band-bucketed (shuffle on small band keys, never O(n^2)); the only
+quadratic step is the in-bucket verification, bounded by bucket size.
+
+Scale notes: at 10^12 rows the LSH paths shuffle (band_id, signature)
+pairs — ~bands x rows small tuples — then join candidates back to fetch
+shingle sets only for verification. Exact dedup is one hash-shuffle on a
+64-bit digest. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def normalized_text(c: Column) -> Column:
+    """lower + whitespace-collapse + trim: the canonical form for exact
+    dedup and fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: the smallest id wins, with the
+    duplicate count. A single hash aggregation (map-side partial agg); at
+    scale, group on the md5 digest rather than the full text to keep
+    shuffle rows narrow."""
+    return (
+        df.groupBy(normalized_text(F.col(text_col)).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stable document fingerprint: md5 of the normalized text (md5 exists
+    in every engine, making the result portable/verifiable)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+# --- shingling -------------------------------------------------------------
+
+
+def word_ngrams(c: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles, built natively:
+    transform(sequence(...)) over the token array."""
+    toks = F.split(F.trim(c), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text."""
+    s = normalized_text(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+            lambda i: F.substring(s, i, k),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# --- n-gram Jaccard (exact, for bounded candidate sets) ---------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold. Quadratic — use only on
+    bounded inputs (a bucket, a partition); the LSH operators below are
+    the scale path that feeds bounded candidate sets into this check."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+# Mersenne prime 2^31-1: universal-hash arithmetic stays under 2^62, so it
+# never overflows BIGINT (Spark 4 ANSI mode makes long overflow an error).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE31), rnd.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """array<bigint> MinHash signature, fully native: xxhash64 per shingle
+    once (reduced mod 2^31-1), then num_hashes universal-hash rehashes
+    ((a*h + b) mod p) + array_min. Codegen'd; no Python."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    sigs = []
+    for a, b in _hash_params(num_hashes, seed):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31)),
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate duplicate pairs via banding: rows sharing any band
+    signature. Shuffle volume = bands x rows key/value pairs."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_ngrams(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sh.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard — the standard
+    minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
+    join -> verify)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SIMHASH_T = T.StructType([T.StructField("simhash", T.LongType())])
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over word tokens — numpy-vectorized per Arrow batch
+    (token hashing via Python hashlib would be slow; we use numpy's
+    tobytes-free path: stable 64-bit FNV-1a over utf-8 tokens)."""
+    import numpy as np
+
+    def fnv1a(tok: str) -> int:
+        h = 0xCBF29CE484222325
+        for byte in tok.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    for s in batches:
+        out = []
+        for text in s:
+            if not text:
+                out.append(0)
+                continue
+            toks = text.lower().split()
+            hs = np.array([fnv1a(t) for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            v = (bits * 2 - 1).sum(axis=0)
+            sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)
+        yield pd.Series(out, dtype="int64")
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
+    4-way band split (pigeonhole: <=3 differing bits => at least one
+    16-bit band identical), verified natively with bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
+    )
+    banded = sh.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "sig", "bv.band", "bv.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- embedding near-dup ------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup, quadratic verify — bounded inputs only;
+    the LSH-bucketed scale path lives in operators/similarity.py."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Dedup + similarity operator tests: LSH candidate recall vs brute-force
+ground truth, verification precision, ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacheck_spark.operators import dedup as D
+from metacheck_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    d = d.filter(F.col("doc_id") < 150)
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    return d.unionAll(variants).cache()
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs_with_dups):
+    """Brute-force ground truth: word-bigram Jaccard >= 0.8."""
+    rows = D.ngram_jaccard_pairs(docs_with_dups, "text", "doc_id", 2, 0.8).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_seeded_dups_are_found_bruteforce(true_pairs):
+    # every seeded variant pairs with its source at ~n/(n+2) similarity
+    seeded = [(a, b) for (a, b) in true_pairs if b == a + 100000]
+    assert len(seeded) >= 20
+
+
+def test_minhash_lsh_recall_and_precision(docs_with_dups, true_pairs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(
+            docs_with_dups, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    # verification step computes EXACT jaccard -> precision is 1.0 by
+    # construction; recall depends only on banding
+    assert set(got) <= set(true_pairs)
+    recall = len(got) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}"
+    for k, v in got.items():
+        assert v == true_pairs[k]
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  b   c "), (3, "different"), (4, "a b c")],
+        "id long, text string",
+    )
+    rows = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup(df, "text", "id").collect()}
+    assert rows == {1: 3, 3: 1}  # normalization folds case/whitespace
+
+
+def test_simhash_finds_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely unrelated words here")],
+        "id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_dup_pairs(df, "text", "id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # seed a near-duplicate of vec 0 (tiny perturbation on one coord)
+    v0 = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    dup = [(999999, [x * 1.001 for x in v0], 0)]
+    df = emb.unionAll(spark.createDataFrame(dup, emb.schema))
+    pairs = D.embedding_dup_pairs(
+        df.filter(F.col("vec_id").isin(0, 1, 2, 999999)), "embedding", "vec_id", 0.99
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 999999)}
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in S.lsh_topk(emb, q, k=10, bits=4).collect()]
+    # the query's own bucket always contains it, plus a decent share of
+    # true neighbors (4 bits ~ 1/16 of the space, neighbors cluster)
+    assert exact[0] == 0 and 0 in approx
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.3, f"ANN overlap {overlap}"
+
+
+def test_word_ngrams_and_jaccard_columns(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b c e",)], "t string")
+    rows = df.select(D.word_ngrams(F.col("t"), 2).alias("g")).collect()
+    assert rows[0]["g"] == ["a b", "b c", "c d"]
+    j = (
+        spark.range(1)
+        .select(
+            D.jaccard(
+                F.array(F.lit("a b"), F.lit("b c")),
+                F.array(F.lit("b c"), F.lit("c d")),
+            ).alias("j")
+        )
+        .head()["j"]
+    )
+    assert abs(j - 1 / 3) < 1e-12
