@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is the full quality-filter pipeline (SURVEY.md §7.1)
+over a synthesized `images` table (BASELINE.json input_hint schema) — the
+table is generated distributed (mapInPandas over spark.range) and cached as
+parquet under .bench/ so repeated runs time the queries, not the generator.
+
+Modes:
+  python bench.py                   # full battery, one JSON line to stdout
+  python bench.py --pipeline-only   # just the images pipeline; JSON includes
+                                    # rows/s (used by tools/run_scaling.py to
+                                    # evidence the N -> 4N scaling criterion)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", "60000"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_images(spark, n: int) -> str:
+    """Generate (once) and return the path of the cached bench images table."""
+    from metacheck_spark.fixtures.gen_images import gen_images_df, url_status_rows
+    from metacheck_spark.schemas import URL_STATUS_SCHEMA
+
+    path = os.path.join(CACHE_DIR, f"images_{n}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        log(f"[bench] generating images table n={n} -> {path}")
+        gen_images_df(spark, n).write.mode("overwrite").parquet(path)
+    us_path = os.path.join(CACHE_DIR, "url_status")
+    if not os.path.exists(os.path.join(us_path, "_SUCCESS")):
+        spark.createDataFrame(url_status_rows(), URL_STATUS_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(us_path)
+    return path
+
+
+def run_noop(df) -> int:
+    """Force full computation without a materialization sink."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def bench_pipeline(spark) -> tuple[float, int]:
+    """The flagship: full quality-filter pipeline (sanity + text rules +
+    URL broadcast join + decode/langid/ppl pandas UDFs + scrub + audit)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from metacheck_spark.pipeline import run_pipeline
+    from metacheck_spark.schemas import URL_STATUS_SCHEMA
+
+    img_path = ensure_images(spark, IMAGES_ROWS)
+    images = spark.read.parquet(img_path)
+    url_status = spark.read.parquet(os.path.join(CACHE_DIR, "url_status"))
+    _ = URL_STATUS_SCHEMA  # keep import explicit for readers
+
+    audit = run_pipeline(spark, images, url_status)
+    # Warm the Python UDF workers on a small slice so the timed run measures
+    # steady-state throughput, not worker fork/import cost (which a long-
+    # running cluster job pays once and amortizes over 10^12 rows).
+    run_noop(run_pipeline(spark, images.limit(max(256, 8 * int(CPUS))), url_status))
+    sec = timed(lambda: run_noop(audit))
+    return sec, IMAGES_ROWS
+
+
+def main() -> None:
+    pipeline_only = "--pipeline-only" in sys.argv
+
+    from metacheck_spark.session import get_spark
+
+    # Small maxPartitionBytes: the images table is ~5 KB/row parquet, so the
+    # 128 MB default would coalesce the whole scan into a handful of input
+    # splits and starve local[32]; 4 MB yields ~1-2 splits per core at the
+    # bench row count (on a real cluster the table is TB-scale and the
+    # default split size is already right — this is a small-input knob).
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="metacheck_bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
+    sf = _sf_from_dir(SF_DIR)
+    queries: dict[str, float] = {}
+
+    # Warm up the JVM + python workers so the first timed query isn't
+    # paying session start-up costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    psec, prows = bench_pipeline(spark)
+    queries["quality_pipeline"] = psec
+
+    if pipeline_only:
+        total = psec
+        out = {
+            "metric": "quality_pipeline_sec",
+            "value": psec,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": int(CPUS),
+            "images_rows": prows,
+            "rows_per_sec": round(prows / psec, 1),
+        }
+        print(json.dumps(out), flush=True)
+        spark.stop()
+        return
+
+    import __spark_entry__ as E
+    from metacheck_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    battery = {
+        "rule_flags": lambda: run_noop(E.q_rule_flags(spark, SF_DIR)),
+        "rule_counts": lambda: E.q_rule_counts(spark, SF_DIR).collect(),
+        "agg_pricing": lambda: E.q_agg_pricing(spark, SF_DIR).collect(),
+        "join_revenue": lambda: E.q_join_revenue(spark, SF_DIR).collect(),
+        "topk_per_group": lambda: run_noop(E.q_topk_per_group(spark, SF_DIR)),
+        "events_json": lambda: E.q_events_json(spark, SF_DIR).collect(),
+        "events_daily": lambda: E.q_events_daily(spark, SF_DIR).collect(),
+        "text_quality": lambda: run_noop(E.q_text_quality(spark, SF_DIR)),
+        "exact_dedup": lambda: run_noop(
+            D.exact_dedup(docs, "text", "doc_id")
+        ),
+        "minhash_dedup": lambda: run_noop(
+            D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
+        ),
+        "simhash_dedup": lambda: run_noop(
+            D.simhash_dup_pairs(docs, "text", "doc_id")
+        ),
+        "cosine_topk": lambda: E.q_cosine_topk(spark, SF_DIR).collect(),
+        "lsh_topk": lambda: E.q_lsh_topk(spark, SF_DIR).collect(),
+    }
+    for name, fn in battery.items():
+        queries[name] = timed(fn)
+        log(f"[bench] {name}: {queries[name]}s")
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "images_rows": prows,
+        "pipeline_rows_per_sec": round(prows / psec, 1),
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

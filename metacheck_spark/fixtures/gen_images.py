@@ -212,6 +212,27 @@ def gen_rows(n: int, seed: int = 42, start: int = 0) -> list[dict]:
     return [gen_row(i, seed) for i in range(start, start + n)]
 
 
+def gen_images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed images-table generation: gen_row is a pure function of
+    (seed, index), so executors build their own slices via mapInPandas over
+    spark.range — no driver-side row loop, scales to any n."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from metacheck_spark.schemas import IMAGES_SCHEMA
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    cols = [f.name for f in IMAGES_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def write_images_parquet(path: str, n: int, seed: int = 42) -> None:
     """Write the images table + url_status dim as parquet at `path`/."""
     import pyarrow as pa
