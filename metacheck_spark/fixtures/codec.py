@@ -156,10 +156,12 @@ def average_phash(arr: np.ndarray) -> int:
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    # Block sums via two reduceat passes (no per-block Python loop), then
+    # divide by the block areas: same means as slicing+.mean() per block.
+    rowsum = np.add.reduceat(gray, ys[:-1], axis=0)
+    blocks = np.add.reduceat(rowsum, xs[:-1], axis=1)
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    blocks = blocks / areas
     bits = (blocks > blocks.mean()).flatten()
     v = 0
     for bit in bits:

@@ -47,11 +47,10 @@ def block_mean_resize(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     h, w, c = arr.shape
     ys = (np.arange(th + 1) * h) // th
     xs = (np.arange(tw + 1) * w) // tw
-    out = np.empty((th, tw, c), dtype=np.uint8)
-    for i in range(th):
-        for j in range(tw):
-            out[i, j] = arr[ys[i]: ys[i + 1], xs[j]: xs[j + 1]].mean(axis=(0, 1))
-    return out
+    rowsum = np.add.reduceat(arr.astype(np.float64), ys[:-1], axis=0)
+    blocks = np.add.reduceat(rowsum, xs[:-1], axis=1)
+    areas = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
+    return (blocks / areas).astype(np.uint8)
 
 
 def extract_features(images: DataFrame) -> DataFrame:

@@ -106,12 +106,102 @@ def extract_urls_col(caption_col: str = "caption") -> Column:
     return F.transform(urls, lambda u: F.regexp_replace(u, _URL_STRIP, ""))
 
 
+def make_url_flags_udf(spark: SparkSession, url_status: DataFrame):
+    """Scale path for the URL rules: the frozen url_status dimension is
+    collected once (it is the SMALL side of the reference's only join,
+    SURVEY.md §2.3), shipped to executors as a Spark broadcast variable,
+    and evaluated as a vectorized dictionary lookup per caption batch.
+
+    Zero shuffle: the relational alternative (url_rule_flags below) must
+    join its aggregated flags back to the fact on image_id, which at
+    10^12 rows reshuffles the whole table — binary payloads included —
+    once the flag side outgrows the broadcast threshold.
+    """
+    from metacheck_spark.functions.urlcheck import url_flags_batch
+
+    rows = url_status.collect()
+    status = {
+        r["url"]: (r["status_code"] if r["status_code"] is not None else -1)
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(status)
+
+    @F.pandas_udf(_URL_FLAGS_T)
+    def url_flags_udf(s: pd.Series) -> pd.DataFrame:
+        return url_flags_batch(s, bc.value)
+
+    return url_flags_udf
+
+
+_URL_FLAGS_T = T.StructType(
+    [
+        T.StructField("P013", T.BooleanType()),
+        T.StructField("P025", T.BooleanType()),
+    ]
+)
+
+_CAPTION_STAGE_T = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("P013", T.BooleanType()),
+        T.StructField("P025", T.BooleanType()),
+        T.StructField("scrubbed", T.StringType()),
+    ]
+)
+
+
+def make_caption_stage_udf(spark: SparkSession, url_status: DataFrame):
+    """ALL caption-text processing (langid + perplexity + URL checks +
+    scrub) fused into ONE pandas UDF: the caption column crosses the
+    JVM->Arrow->Python boundary once instead of four times, and each task
+    leases one Python worker for the whole text stage instead of four —
+    at 10^12 rows the Arrow serialization of the caption column and the
+    per-task worker fan-out are first-order costs.
+
+    The scrub is computed for every row here and masked to kept rows in
+    with_labels (keep depends on the binary-stage flags, unknowable in
+    this column-local stage); three compiled-regex substitutions on soon-
+    dropped rows cost far less than a fourth Arrow crossing + worker pool.
+    """
+    from metacheck_spark.functions.urlcheck import url_flags_batch
+
+    rows = url_status.collect()
+    status = {
+        r["url"]: (r["status_code"] if r["status_code"] is not None else -1)
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(status)
+
+    @F.pandas_udf(_CAPTION_STAGE_T)
+    def caption_stage_udf(s: pd.Series) -> pd.DataFrame:
+        lang, conf = langid_batch(s)
+        ppl = ppl_batch(s)
+        uf = url_flags_batch(s, bc.value)
+        return pd.DataFrame(
+            {
+                "lang": lang,
+                "lang_conf": conf,
+                "ppl": ppl,
+                "P013": uf["P013"],
+                "P025": uf["P025"],
+                "scrubbed": scrub_batch(s),
+            }
+        )
+
+    return caption_stage_udf
+
+
 def url_rule_flags(images: DataFrame, url_status: DataFrame) -> DataFrame:
-    """(image_id, P013 bool, P025 bool) for rows that contain URLs.
+    """(image_id, P013 bool, P025 bool) for rows that contain URLs —
+    the RELATIONAL variant, for url_status dimensions too large to hold
+    in executor memory.
 
     Pre-filters to URL-bearing rows (tiny fraction) BEFORE the explode, so
     the shuffle input is small regardless of corpus size; the dimension
-    side is broadcast (no shuffle of the fact table).
+    side is broadcast (no shuffle of the fact table at this step — the
+    cost is the later join-back on image_id, see make_url_flags_udf).
     """
     urls = (
         images.select("image_id", extract_urls_col().alias("urls"))
@@ -191,22 +281,36 @@ def scrub_udf(s: pd.Series) -> pd.Series:
 # stages 2+6: assemble ordered rule hits and the keep label
 
 
-def assemble_flags(images: DataFrame, url_status: DataFrame) -> DataFrame:
+def assemble_flags(
+    images: DataFrame, url_status: DataFrame, url_mode: str = "udf"
+) -> DataFrame:
     """All per-row derived columns, flags keyed `hit_<code>` in registry
-    order, plus lang/lang_conf/ppl."""
+    order, plus lang/lang_conf/ppl.
+
+    url_mode='udf' (default): broadcast-dict URL check, fully narrow — no
+    shuffle anywhere in the flag assembly. url_mode='join': relational
+    explode + broadcast-join + join-back variant (for url_status dims too
+    large for executor memory)."""
     df = images
     for name, col in binary_sanity_cols().items():
         df = df.withColumn(name, col)
-    df = df.withColumn("model", langid_udf(F.col("caption"))).select(
-        "*", "model.lang", "model.lang_conf"
-    ).drop("model")
-    df = df.withColumn("ppl", ppl_udf(F.col("caption")))
     df = df.withColumn("dec", decode_udf(F.col("bytes"))).select(
         "*", "dec.decoded_ok", "dec.phash_calc"
     ).drop("dec")
 
-    url_flags = url_rule_flags(images, url_status)
-    df = df.join(url_flags, "image_id", "left")
+    if url_mode == "udf":
+        stage_udf = make_caption_stage_udf(images.sparkSession, url_status)
+        df = df.withColumn("m", stage_udf(F.col("caption"))).select(
+            "*", "m.lang", "m.lang_conf", "m.ppl", "m.P013", "m.P025",
+            F.col("m.scrubbed").alias("scrubbed_all"),
+        ).drop("m")
+    else:
+        df = df.withColumn("model", langid_udf(F.col("caption"))).select(
+            "*", "model.lang", "model.lang_conf"
+        ).drop("model")
+        df = df.withColumn("ppl", ppl_udf(F.col("caption")))
+        url_flags = url_rule_flags(images, url_status)
+        df = df.join(url_flags, "image_id", "left")
 
     text_flags = {r.code: r.spark(F.col("caption")) for r in TEXT_RULES}
     sanity = sanity_rule_flags()
@@ -250,7 +354,14 @@ def with_labels(flagged: DataFrame) -> DataFrame:
         .withColumn("n_warnings", n_warn)
         .withColumn("keep", n_pit == 0)
     )
-    # Scrub only the kept rows — dropped rows never pay the Python stage.
+    # Scrubbed caption exposed for kept rows only (reference semantics:
+    # dropped rows carry no scrubbed text). The fused caption stage already
+    # computed it (udf mode); the relational mode scrubs kept rows lazily.
+    if "scrubbed_all" in df.columns:
+        return df.withColumn(
+            "scrubbed_caption",
+            F.when(F.col("keep"), F.col("scrubbed_all")).otherwise(F.lit(None)),
+        ).drop("scrubbed_all")
     return df.withColumn(
         "scrubbed_caption",
         F.when(F.col("keep"), scrub_udf(F.col("caption"))).otherwise(F.lit(None)),
@@ -364,8 +475,9 @@ def run_pipeline(
     url_status: DataFrame,
     run_ts: str = "1970-01-01T00:00:00Z",
     buckets: int = 32,
+    url_mode: str = "udf",
 ) -> DataFrame:
     """images + url_status -> audit frame (not yet written)."""
-    flagged = assemble_flags(images, url_status)
+    flagged = assemble_flags(images, url_status, url_mode)
     labeled = with_labels(flagged)
     return audit_frame(labeled, run_ts, buckets)

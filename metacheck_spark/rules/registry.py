@@ -33,6 +33,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from metacheck_spark.functions import patterns as P
+from metacheck_spark.functions.urlcheck import extract_urls as _urls_py
+from metacheck_spark.functions.urlcheck import url_flags_one
 
 # ---------------------------------------------------------------------------
 
@@ -363,34 +365,15 @@ def _p027_spark(c: Column) -> Column:
     return (F.size(toks) >= 2) & strict & ~norm
 
 
-def _urls_py(s):
-    if s is None:
-        return []
-    out = []
-    for m in re.finditer(P.URL_EXTRACT, s):
-        out.append(re.sub(P.URL_TRAILING_PUNCT, "", m.group(0)))
-    return out
-
-
 def _p013_py(s, ctx):
     """URL inaccessible, 2xx OR 301 counts as accessible (reference
     p013.py:47 treats 301 as OK — quirk preserved vs P025)."""
-    st = ctx["url_status"]
-    for u in _urls_py(s):
-        code = st.get(u)
-        if code is not None and not (200 <= code < 300 or code == 301):
-            return True
-    return False
+    return url_flags_one(s, ctx["url_status"])[0]
 
 
 def _p025_py(s, ctx):
     """URL not strictly 2xx (reference p025.py:40-41 rejects 301)."""
-    st = ctx["url_status"]
-    for u in _urls_py(s):
-        code = st.get(u)
-        if code is not None and not (200 <= code < 300):
-            return True
-    return False
+    return url_flags_one(s, ctx["url_status"])[1]
 
 
 def _x001_py(_s, ctx):

@@ -107,6 +107,25 @@ def test_per_language_rule_counts(spark, images_dir, golden):
     assert got == exp
 
 
+def test_url_modes_agree(spark, images_dir):
+    """The broadcast-dict UDF path (scale default, zero shuffle) and the
+    relational explode+join path produce identical labels."""
+    images = spark.read.parquet(f"{images_dir}/images.parquet")
+    us = spark.read.parquet(f"{images_dir}/url_status.parquet")
+    a = {
+        r["image_id"]: list(r["rule_hits"])
+        for r in run_pipeline(spark, images, us, url_mode="udf")
+        .select("image_id", "rule_hits").collect()
+    }
+    b = {
+        r["image_id"]: list(r["rule_hits"])
+        for r in run_pipeline(spark, images, us, url_mode="join")
+        .select("image_id", "rule_hits").collect()
+    }
+    assert a == b
+    assert any("P013" in h or "P025" in h for h in a.values())
+
+
 def test_audit_write_and_resume(spark, images_dir, tmp_path):
     images = spark.read.parquet(f"{images_dir}/images.parquet")
     us = spark.read.parquet(f"{images_dir}/url_status.parquet")
