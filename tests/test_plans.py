@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale are asserted on explain() output so a refactor can't silently
+reintroduce a shuffle, lose pushdown, or de-broadcast a dimension."""
+
+import __spark_entry__ as E
+from metacheck_spark.pipeline import run_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_rule_flags_prunes_columns(spark):
+    """The rule battery reads only (doc_id, text) from the parquet scan."""
+    plan = _plan(E.q_rule_flags(spark, SF))
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "n_chars" not in read and "source" not in read
+
+
+def test_agg_pricing_pushes_filter(spark):
+    """The shipdate predicate reaches the parquet scan as a pushed filter."""
+    plan = _plan(E.q_agg_pricing(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_join_revenue_broadcasts_dims(spark):
+    """customer and nation join broadcast — no shuffle of the fact side
+    for the dimension joins."""
+    plan = _plan(E.q_join_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pipeline_udf_mode_is_shuffle_free(spark, images_dir):
+    """The full flag-assembly + labeling plan (url_mode='udf') is narrow:
+    zero Exchange operators anywhere — the only shuffles in the whole
+    pipeline are the explicit bucketed/salted writes and the tiny metrics
+    aggregation."""
+    images = spark.read.parquet(f"{images_dir}/images.parquet")
+    us = spark.read.parquet(f"{images_dir}/url_status.parquet")
+    audit = run_pipeline(spark, images, us, url_mode="udf")
+    plan = _plan(audit)
+    assert "Exchange" not in plan
+
+
+def test_pipeline_single_caption_crossing(spark, images_dir):
+    """Exactly two Arrow/Python boundary nodes in the audit plan: one for
+    the binary decode, one for the fused caption stage (langid + ppl +
+    URL checks + scrub in a single crossing)."""
+    images = spark.read.parquet(f"{images_dir}/images.parquet")
+    us = spark.read.parquet(f"{images_dir}/url_status.parquet")
+    audit = run_pipeline(spark, images, us, url_mode="udf")
+    plan = _plan(audit)
+    assert plan.count("ArrowEvalPython") == 2
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """exact_dedup aggregates map-side before the shuffle (partial then
+    final HashAggregate around one Exchange)."""
+    plan = _plan(E.q_exact_dedup(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_cosine_topk_avoids_full_sort(spark):
+    """Brute-force top-k compiles to TakeOrderedAndProject (per-partition
+    top-k + driver merge), not a global Sort+Exchange."""
+    plan = _plan(E.q_cosine_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
