@@ -449,6 +449,336 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding near-dup (exact copies seeded identically on both sides: cosine
+# of an exact copy is 1.0 after 6-decimal rounding; organic random pairs sit
+# far below the 0.9 threshold, so the result set is deterministic).
+
+
+def _with_vec_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(copies)
+
+
+def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_dup_pairs(
+        _with_vec_copies(spark, sf_dir), "embedding", "vec_id", threshold=0.9
+    )
+
+
+_EMBEDDING_DUP_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus summary (A4-A7 analog) + per-language rule counts (A3 analog) over
+# the trigger-seeded captions, DUCKDB_SAFE rules only.
+
+
+def q_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _documents(spark, sf_dir).withColumn("caption", _seeded_caption_col())
+    c = F.col("caption")
+    flags = [(r, r.spark(c)) for r in DUCKDB_SAFE]
+    any_hit = flags[0][1]
+    any_pit = F.lit(False)
+    for r, f in flags[1:]:
+        any_hit = any_hit | f
+    for r, f in flags:
+        if r.severity == "P":
+            any_pit = any_pit | f
+    n_pit = sum(
+        (F.when(f, 1).otherwise(0) for r, f in flags if r.severity == "P"),
+        start=F.lit(0),
+    )
+    n_warn = sum(
+        (F.when(f, 1).otherwise(0) for r, f in flags if r.severity == "W"),
+        start=F.lit(0),
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(any_hit, 1)).alias("flagged_rows"),
+        F.count(F.when(~any_pit, 1)).alias("kept_rows"),
+        F.sum(n_pit).cast("long").alias("total_pitfalls"),
+        F.sum(n_warn).cast("long").alias("total_warnings"),
+    )
+
+
+def _quality_summary_sql() -> str:
+    pit = [r for r in DUCKDB_SAFE if r.severity == "P"]
+    warn = [r for r in DUCKDB_SAFE if r.severity == "W"]
+    any_hit = " OR ".join(r.duckdb.format(c="caption") for r in DUCKDB_SAFE)
+    any_pit = " OR ".join(r.duckdb.format(c="caption") for r in pit)
+    n_pit = " + ".join(
+        f"(CASE WHEN {r.duckdb.format(c='caption')} THEN 1 ELSE 0 END)" for r in pit
+    )
+    n_warn = " + ".join(
+        f"(CASE WHEN {r.duckdb.format(c='caption')} THEN 1 ELSE 0 END)" for r in warn
+    )
+    return f"""
+SELECT count(*) AS total_rows,
+       count(CASE WHEN {any_hit} THEN 1 END) AS flagged_rows,
+       count(CASE WHEN NOT ({any_pit}) THEN 1 END) AS kept_rows,
+       cast(sum({n_pit}) AS BIGINT) AS total_pitfalls,
+       cast(sum({n_warn}) AS BIGINT) AS total_warnings
+FROM (SELECT {_seeded_caption_sql()} AS caption FROM documents)
+"""
+
+
+def q_rule_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analog: per-language per-rule hit counts as one grouped pass
+    (conditional counts, no explode — map-side partial agg)."""
+    df = _documents(spark, sf_dir).withColumn("caption", _seeded_caption_col())
+    c = F.col("caption")
+    aggs = [
+        F.count(F.when(r.spark(c), 1)).alias(r.code.lower()) for r in DUCKDB_SAFE
+    ]
+    return df.groupBy("lang").agg(*aggs)
+
+
+def _rule_lang_counts_sql() -> str:
+    exprs = ",\n  ".join(
+        f"count(CASE WHEN {r.duckdb.format(c='caption')} THEN 1 END) AS {r.code.lower()}"
+        for r in DUCKDB_SAFE
+    )
+    return (
+        f"SELECT lang,\n  {exprs}\nFROM (SELECT lang, {_seeded_caption_sql()}"
+        " AS caption FROM documents) GROUP BY lang"
+    )
+
+
+def q_cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (lang, source): the 2-D summary table with
+    subtotals (SURVEY.md §2.4 — the reference's rule x language table is the
+    closest analog; cube adds the margins)."""
+    return (
+        _documents(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_CUBE_DOC_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Resume anti-join (§7.5: drop rows whose partition already committed) and
+# set operations (§2.6).
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    ledger = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(ledger, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+_RESUME_ANTI_JOIN_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    even = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    low = docs.filter(F.col("doc_id") < 300).select("doc_id")
+    both = even.intersect(low).withColumn("tag", F.lit("both"))
+    only_even = even.exceptAll(low).withColumn("tag", F.lit("only_even"))
+    return both.unionAll(only_even)
+
+
+_SET_OPS_SQL = """
+SELECT doc_id, 'both' AS tag FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT doc_id FROM documents WHERE doc_id < 300)
+UNION ALL
+SELECT doc_id, 'only_even' AS tag FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  EXCEPT
+  SELECT doc_id FROM documents WHERE doc_id < 300)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window running aggregate + multi-format date parsing (W004 family).
+
+
+def q_running_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.round(F.sum("day_value").over(w), 2).alias("running_value"),
+    )
+
+
+_RUNNING_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_value,
+       round(sum(day_value) OVER (PARTITION BY event_type ORDER BY day), 2)
+         AS running_value
+FROM daily
+"""
+
+
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format datetime parsing via coalesce(try_to_timestamp(fmt)...)
+    — the reference's 5-format ladder (w004.py:58-92). Each event's ts is
+    rendered in one of 3 formats by event_id, then recovered by the ladder."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "dd-MM-yyyy HH:mm:ss"))
+        .otherwise(F.date_format("ts", "MMM dd, yyyy HH:mm:ss"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("raw"), F.lit("dd-MM-yyyy HH:mm:ss")),
+        F.try_to_timestamp(F.col("raw"), F.lit("MMM dd, yyyy HH:mm:ss")),
+    )
+    return (
+        ev.select("event_id", raw.alias("raw"))
+        .select(
+            "event_id",
+            "raw",
+            F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+        )
+    )
+
+
+_DATE_PARSE_SQL = """
+WITH rendered AS (
+  SELECT event_id,
+         CASE
+           WHEN event_id % 3 = 0 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+           WHEN event_id % 3 = 1 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+           ELSE strftime(ts, '%b %d, %Y %H:%M:%S')
+         END AS raw
+  FROM events
+)
+SELECT event_id, raw,
+       strftime(coalesce(
+         try_strptime(raw, '%Y/%m/%d %H:%M:%S'),
+         try_strptime(raw, '%d-%m-%Y %H:%M:%S'),
+         try_strptime(raw, '%b %d, %Y %H:%M:%S')), '%Y-%m-%d %H:%M:%S') AS parsed
+FROM rendered
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF stages (langid / perplexity / scrub) and the flagship image
+# pipeline over a synthesized input slice — rows-only driver checks (the
+# models are not SQL-expressible); value parity vs the pure-Python oracle is
+# asserted in tests/test_models.py and tests/test_pipeline.py.
+
+
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metacheck_spark.pipeline import langid_udf
+
+    return (
+        _documents(spark, sf_dir)
+        .withColumn("m", langid_udf(F.col("text")))
+        .select("doc_id", "m.lang", F.round("m.lang_conf", 6).alias("lang_conf"))
+    )
+
+
+def q_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metacheck_spark.pipeline import ppl_udf
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.round(ppl_udf(F.col("text")), 6).alias("ppl")
+    )
+
+
+def q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metacheck_spark.pipeline import scrub_udf
+
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call 555-123-4567"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" oh frak"))
+        .otherwise(F.lit("")),
+    )
+    return _documents(spark, sf_dir).select(
+        "doc_id", scrub_udf(seeded).alias("scrubbed")
+    )
+
+
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship E2E on a synthesized images slice (the driver's tables have
+    no binary column; the input_hint table is generated deterministically)."""
+    from metacheck_spark.fixtures.gen_images import gen_images_df, url_status_rows
+    from metacheck_spark.pipeline import run_pipeline
+    from metacheck_spark.schemas import URL_STATUS_SCHEMA
+
+    images = gen_images_df(spark, 300, partitions=8)
+    url_status = spark.createDataFrame(url_status_rows(), URL_STATUS_SCHEMA)
+    audit = run_pipeline(spark, images, url_status)
+    return audit.select(
+        "image_id",
+        F.array_join("rule_hits", ",").alias("rule_hits"),
+        "n_pitfalls",
+        "n_warnings",
+        "keep",
+        "lang",
+        "ppl",
+        "scrubbed_caption",
+        "bucket",
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (decode + channel means + phash) over
+    a synthesized images slice via mapInPandas."""
+    from metacheck_spark.fixtures.gen_images import gen_images_df
+    from metacheck_spark.operators.images import extract_features
+
+    images = gen_images_df(spark, 300, partitions=8)
+    feats = extract_features(images)
+    return feats.select(
+        "image_id",
+        "decoded_ok",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "phash",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_counts": q_rule_counts,
@@ -467,6 +797,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": q_join_revenue,
         "events_json": q_events_json,
         "events_daily": q_events_daily,
+        "embedding_dup": q_embedding_dup,
+        "quality_summary": q_quality_summary,
+        "rule_lang_counts": q_rule_lang_counts,
+        "cube_doc_stats": q_cube_doc_stats,
+        "resume_anti_join": q_resume_anti_join,
+        "set_ops": q_set_ops,
+        "running_daily": q_running_daily,
+        "date_parse": q_date_parse,
+        "langid_docs": q_langid_docs,
+        "ppl_docs": q_ppl_docs,
+        "scrub_docs": q_scrub_docs,
+        "image_pipeline": q_image_pipeline,
+        "image_features": q_image_features,
     }
 
 
@@ -488,4 +831,17 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue": _JOIN_REVENUE_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "embedding_dup": _EMBEDDING_DUP_SQL,
+        "quality_summary": _quality_summary_sql(),
+        "rule_lang_counts": _rule_lang_counts_sql(),
+        "cube_doc_stats": _CUBE_DOC_STATS_SQL,
+        "resume_anti_join": _RESUME_ANTI_JOIN_SQL,
+        "set_ops": _SET_OPS_SQL,
+        "running_daily": _RUNNING_DAILY_SQL,
+        "date_parse": _DATE_PARSE_SQL,
+        # langid_docs / ppl_docs / scrub_docs / image_pipeline /
+        # image_features: pandas-UDF model stages and binary decode are not
+        # SQL-expressible -> rows-only driver check; value parity vs the
+        # pure-Python oracle is asserted in pytest (tests/test_models.py,
+        # tests/test_pipeline.py, tests/test_images_ops.py).
     }
