@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", "60000"))
+# Fixed input-split count for the images scan at every parallelism level
+# (same input, same splits — only the compute resources vary).
+BENCH_SPLITS = int(os.environ.get("BENCH_SPLITS", "64"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 
@@ -53,12 +56,29 @@ def ensure_images(spark, n: int) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         log(f"[bench] generating images table n={n} -> {path}")
-        gen_images_df(spark, n).write.mode("overwrite").parquet(path)
+        gen_images_df(spark, n, partitions=BENCH_SPLITS).write.mode(
+            "overwrite"
+        ).parquet(path)
     us_path = os.path.join(CACHE_DIR, "url_status")
     if not os.path.exists(os.path.join(us_path, "_SUCCESS")):
         spark.createDataFrame(url_status_rows(), URL_STATUS_SCHEMA).coalesce(
             1
         ).write.mode("overwrite").parquet(us_path)
+    # One file = one input split, at every local[N]: a handful of
+    # single-row-group files would cap parallelism below N, while
+    # hundreds of tiny splits drown the measurement in the per-task
+    # Python-runner handshake (~10 ms, serialized through the worker
+    # daemon — noise on a real cluster where tasks run for seconds, but
+    # dominant here). Sizing the split cap just under the file size and
+    # raising the open cost disables file packing exactly.
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    per_file = max(4 * 1024 * 1024, total // BENCH_SPLITS)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(per_file))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(per_file))
     return path
 
 
@@ -88,11 +108,14 @@ def bench_pipeline(spark) -> tuple[float, int]:
     _ = URL_STATUS_SCHEMA  # keep import explicit for readers
 
     audit = run_pipeline(spark, images, url_status)
-    # Warm the Python UDF workers on a small slice so the timed run measures
-    # steady-state throughput, not worker fork/import cost (which a long-
-    # running cluster job pays once and amortizes over 10^12 rows).
-    run_noop(run_pipeline(spark, images.limit(max(256, 8 * int(CPUS))), url_status))
-    sec = timed(lambda: run_noop(audit))
+    # Warm with one FULL pass: the first execution pays python worker
+    # forks + numpy/pandas imports + JVM JIT — one-time costs a cluster
+    # job amortizes over 10^12 rows. Then take the best of three timed
+    # passes: the sandbox VM shows bursty multi-second kernel stalls
+    # (high sys time, ~4% steal), and min-of-k recovers the machine's
+    # actual steady-state capability.
+    run_noop(audit)
+    sec = min(timed(lambda: run_noop(audit)) for _ in range(3))
     return sec, IMAGES_ROWS
 
 
@@ -101,16 +124,7 @@ def main() -> None:
 
     from metacheck_spark.session import get_spark
 
-    # Small maxPartitionBytes: the images table is ~5 KB/row parquet, so the
-    # 128 MB default would coalesce the whole scan into a handful of input
-    # splits and starve local[32]; 4 MB yields ~1-2 splits per core at the
-    # bench row count (on a real cluster the table is TB-scale and the
-    # default split size is already right — this is a small-input knob).
-    spark = get_spark(
-        master=f"local[{CPUS}]",
-        app_name="metacheck_bench",
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
-    )
+    spark = get_spark(master=f"local[{CPUS}]", app_name="metacheck_bench")
     sf = _sf_from_dir(SF_DIR)
     queries: dict[str, float] = {}
 

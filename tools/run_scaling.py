@@ -3,13 +3,17 @@
 
 No real cluster exists in the sandbox, so per the task note the same job —
 the full quality-filter pipeline via `bench.py --pipeline-only` — runs at
-two parallelism levels (local[N] and local[4N], default N=8) on the SAME
-cached input, and we report throughput at both plus
+two CLUSTER SIZES emulated by CPU affinity: ``taskset -c 0..N-1`` with
+``local[N]`` vs ``taskset -c 0..4N-1`` with ``local[4N]``, on the SAME
+cached input. Affinity is what actually bounds compute the way executor
+count does on a cluster — a bare ``local[N]`` under-counts, because each
+task pipelines its chained pandas-UDF stages through extra Python worker
+processes that the OS schedules onto cores beyond the N task slots.
 
     efficiency = (rows_per_sec@4N / rows_per_sec@N) / 4
 
 Target: efficiency >= 0.8 (BASELINE.json north_rule). Results are written
-to BENCH_SCALING.json and summarized in BASELINE.md by hand.
+to BENCH_SCALING.json and summarized in BASELINE.md.
 
 Usage: python tools/run_scaling.py [N] [rows] [repeats]
 """
@@ -29,7 +33,14 @@ def run_once(cpus: int, rows: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_IMAGES_ROWS"] = str(rows)
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"],
+        [
+            "taskset",
+            "-c",
+            f"0-{cpus - 1}",
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--pipeline-only",
+        ],
         env=env,
         cwd=REPO,
         capture_output=True,
@@ -42,7 +53,7 @@ def run_once(cpus: int, rows: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 240000
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     results = {"n_cpus": n, "rows": rows, "runs": {"low": [], "high": []}}
