@@ -27,6 +27,17 @@ def normalized_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source has
+    fewer partitions than cores — shingle/signature stages multiply work
+    ~100x per row, so an under-partitioned source serializes them. A
+    production-scale table already has >> cores partitions and skips this."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct normalized text: the smallest id wins, with the
     duplicate count. A single hash aggregation (map-side partial agg); at
@@ -95,7 +106,7 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard >= threshold. Quadratic — use only on
     bounded inputs (a bucket, a partition); the LSH operators below are
     the scale path that feeds bounded candidate sets into this check."""
-    sh = df.select(
+    sh = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -127,22 +138,84 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """array<bigint> MinHash signature, fully native: xxhash64 per shingle
-    once (reduced mod 2^31-1), then num_hashes universal-hash rehashes
-    ((a*h + b) mod p) + array_min. Codegen'd; no Python."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    sigs = []
-    for a, b in _hash_params(num_hashes, seed):
-        sigs.append(
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31)),
-                )
-            )
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures, fully native.
+
+    Formulation: explode shingles -> xxhash64 once per shingle (reduced
+    mod 2^31-1) -> ONE aggregation with num_hashes min((a_i*h+b_i) mod p)
+    expressions -> assemble the array. The partial aggregation combines
+    map-side, so the shuffle carries one 64-long row per id.
+
+    (A pure-expression alternative — num_hashes array_min(transform(...))
+    over a shared base array — re-inlines the base expression into every
+    branch at plan time: O(num_hashes * |shingles|) codegen blow-up that
+    falls back to interpreted eval. The explode+agg plan is linear and
+    whole-stage-codegen'd.)
+
+    Rows with zero shingles (empty/blank text) drop out — they have no
+    candidate pairs by definition.
+    """
+    src = _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    sh = src.select(
+        "id",
+        F.explode(word_ngrams(F.col("t"), shingle_n)).alias("g"),
+    )
+    h = F.pmod(F.xxhash64("g"), F.lit(_MERSENNE31))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (a < b) within one bucket's id list, natively:
+    sort, then nested transform over (index, suffix)."""
+    s = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.transform(
+                F.slice(s, i + 1, F.size(s) - i),
+                lambda y: F.struct(
+                    F.element_at(s, i).alias("id_a"), y.alias("id_b")
+                ),
+            ),
         )
-    return F.array(*sigs)
+    )
+
+
+def bucketed_candidate_pairs(
+    banded: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """(id_a, id_b) candidates from a (id, band, band_sig) frame — the
+    canonical LSH shape: ONE shuffle (groupBy bucket) + in-bucket pair
+    expansion, instead of a self-join that executes the upstream signature
+    plan twice. Buckets larger than max_bucket are dropped (a degenerate
+    band — e.g. every empty doc — would otherwise expand quadratically;
+    real near-dup clusters are small, and oversized buckets indicate the
+    banding parameters need retuning, not more pairs)."""
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates(
@@ -154,12 +227,9 @@ def minhash_lsh_candidates(
     shingle_n: int = 2,
 ) -> DataFrame:
     """Candidate duplicate pairs via banding: rows sharing any band
-    signature. Shuffle volume = bands x rows key/value pairs."""
+    signature. Shuffle volume = bands x rows small key/value pairs."""
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_ngrams(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    sh = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sh.select(
         "id",
         F.explode(
@@ -174,17 +244,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.band_sig")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return bucketed_candidate_pairs(banded)
 
 
 def minhash_dedup_pairs(
@@ -199,8 +259,14 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact Jaccard — the standard
     minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
     join -> verify)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
+    # Persist the candidate pairs: they feed two verification joins, and
+    # without materialization each join re-executes the whole banded
+    # self-join subplan (and its upstream signature aggregation) — the
+    # standard LSH shape is generate-candidates once, then verify.
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
+    sh = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), shingle_n).alias("sh")
     )
     return (
@@ -256,12 +322,12 @@ def simhash_dup_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
     4-way band split (pigeonhole: <=3 differing bits => at least one
     16-bit band identical), verified natively with bit_count(xor)."""
-    sh = df.select(
+    sh = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
     )
+    sh = sh.persist()  # feeds banding AND the signature-fetch verify join
     banded = sh.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -269,29 +335,22 @@ def simhash_dup_pairs(
                         F.lit(i).alias("band"),
                         F.shiftrightunsigned(F.col("sig"), 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
+                        .alias("band_sig"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("bv"),
-    ).select("id", "sig", "bv.band", "bv.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    ).select("id", "bv.band", "bv.band_sig")
+    cands = bucketed_candidate_pairs(banded)
+    a = sh.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
