@@ -354,6 +354,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, qvec, k=15, bits=6)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster-probed ANN (rows-only; recall + full-probe==exact
+    asserted in pytest)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cent = S.train_centroids(emb, n_clusters=8)
+    return S.ivf_topk(S.assign_clusters(emb, cent), qvec, cent, k=15, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Windows / joins / JSON scalar functions (SURVEY.md §2.5, §2.3, §2.7)
 
@@ -793,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_doc_stats": q_lang_doc_stats,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "topk_per_group": q_topk_per_group,
         "join_revenue": q_join_revenue,
         "events_json": q_events_json,

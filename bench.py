@@ -176,6 +176,7 @@ def main() -> None:
         ),
         "cosine_topk": lambda: E.q_cosine_topk(spark, SF_DIR).collect(),
         "lsh_topk": lambda: E.q_lsh_topk(spark, SF_DIR).collect(),
+        "ivf_topk": lambda: E.q_ivf_topk(spark, SF_DIR).collect(),
     }
     for name, fn in battery.items():
         # Best of two: pass 1 warms plan/codegen/worker pools AND absorbs

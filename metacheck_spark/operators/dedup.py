@@ -288,32 +288,33 @@ _SIMHASH_T = T.StructType([T.StructField("simhash", T.LongType())])
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """64-bit SimHash over word tokens — numpy-vectorized per Arrow batch
-    (token hashing via Python hashlib would be slow; we use numpy's
-    tobytes-free path: stable 64-bit FNV-1a over utf-8 tokens)."""
+    """64-bit SimHash over word tokens, fully vectorized per Arrow batch:
+    one pd.util.hash_array call over the batch's flattened token array
+    (stable 64-bit SipHash with a fixed key — deterministic across runs
+    and workers), then per-bit segment sums via np.add.reduceat. No
+    per-row or per-token Python."""
     import numpy as np
 
-    def fnv1a(tok: str) -> int:
-        h = 0xCBF29CE484222325
-        for byte in tok.encode("utf-8"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
     for s in batches:
-        out = []
-        for text in s:
-            if not text:
-                out.append(0)
-                continue
-            toks = text.lower().split()
-            hs = np.array([fnv1a(t) for t in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
+        toks_per = s.fillna("").str.lower().str.split()
+        lens = toks_per.str.len().to_numpy(dtype=np.int64)
+        out = np.zeros(len(s), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_per[nz]]
             )
-            v = (bits * 2 - 1).sum(axis=0)
-            sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)
-        yield pd.Series(out, dtype="int64")
+            hs = pd.util.hash_array(flat).astype(np.uint64)
+            ends = lens[nz].cumsum()
+            starts = ends - lens[nz]
+            sig = np.zeros(int(nz.sum()), dtype=np.uint64)
+            for b in range(64):
+                bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                # majority vote per segment: ones*2 > len  <=>  sum(+-1) > 0
+                ones = np.add.reduceat(bit, starts)
+                sig |= ((ones * 2 > lens[nz]).astype(np.uint64)) << np.uint64(b)
+            out[nz] = sig
+        yield pd.Series(out.view(np.int64), dtype="int64")
 
 
 def simhash_dup_pairs(

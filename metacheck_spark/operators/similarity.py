@@ -1,12 +1,14 @@
 """Similarity search over embedding columns: brute-force cosine top-k as
-the correctness baseline, sign-LSH (random hyperplanes) bucketing as the
-scale path — candidates per bucket shrink the verify set from O(n) to
-O(n / 2^bits) per query on roughly-uniform data.
+the correctness baseline; two scale paths — sign-LSH (random hyperplanes)
+bucketing, which shrinks the verify set to O(n / 2^bits) per query on
+roughly-uniform data, and an IVF index (kmeans-lite coarse quantizer +
+cluster-probed search), the standard shape when data is clustered.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +80,86 @@ def lsh_topk(
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --- IVF (inverted-file) index: kmeans-lite coarse quantizer ----------------
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's kmeans on a bounded driver-side sample — the coarse
+    quantizer of an IVF index is always trained on a sample (centroids are
+    tiny; only they ship back to executors). Deterministic for fixed seed."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as a vectorized pandas UDF — one numpy
+    matmul per Arrow batch against the (broadcast-small) centroid matrix.
+    At ingest time this column is written once and the table is clustered/
+    partitioned by it, making ivf_topk a partition-pruned scan."""
+    cent = centroids  # closure-captured; small
+
+    @F.pandas_udf("int")
+    def assign_udf(s: pd.Series) -> pd.Series:
+        x = np.array([list(v) for v in s], dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32), index=s.index)
+
+    return df.withColumn(out_col, assign_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """ANN top-k: probe the nprobe clusters nearest the query, brute-force
+    cosine only inside them. With the table partitioned by cluster the
+    filter prunes partitions at the scan. df must carry cluster_col
+    (assign_clusters at ingest)."""
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in (centroids @ q).argsort()[::-1][:nprobe]]
+    qlit = _query_lit(query_vec)
+    return (
+        df.filter(F.col(cluster_col).isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)

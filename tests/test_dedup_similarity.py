@@ -94,6 +94,25 @@ def test_lsh_topk_recall(spark):
     assert overlap >= 0.3, f"ANN overlap {overlap}"
 
 
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cent = S.train_centroids(emb, n_clusters=8)
+    assert cent.shape[0] == 8
+    indexed = S.assign_clusters(emb, cent).cache()
+    # every row lands in exactly one cluster; clusters are non-degenerate
+    n_clusters_used = indexed.select("cluster").distinct().count()
+    assert 2 <= n_clusters_used <= 8
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in S.ivf_topk(indexed, q, cent, k=10, nprobe=3).collect()]
+    assert exact[0] == 0 and 0 in approx
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF overlap {overlap}"
+    # full probe == exact search (sanity: IVF degenerates to brute force)
+    allprobe = [r["vec_id"] for r in S.ivf_topk(indexed, q, cent, k=10, nprobe=8).collect()]
+    assert allprobe == exact
+
+
 def test_word_ngrams_and_jaccard_columns(spark):
     df = spark.createDataFrame([("a b c d",), ("a b c e",)], "t string")
     rows = df.select(D.word_ngrams(F.col("t"), 2).alias("g")).collect()
