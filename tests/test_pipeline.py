@@ -107,6 +107,46 @@ def test_per_language_rule_counts(spark, images_dir, golden):
     assert got == exp
 
 
+def test_salted_repartition_splits_skewed_langs(spark, images_dir):
+    """The language distribution is Zipfian by construction ('en'
+    dominates); the salted repartition must cap the largest partition far
+    below the hot language's share, so no straggler task carries a whole
+    language shard."""
+    from pyspark.sql import functions as F2
+
+    from metacheck_spark.pipeline import kept_output
+
+    images = spark.read.parquet(f"{images_dir}/images.parquet")
+    us = spark.read.parquet(f"{images_dir}/url_status.parquet")
+    labeled = run_pipeline(spark, images, us).withColumnRenamed(
+        "scrubbed_caption", "scrubbed_caption"
+    )
+    # run_pipeline returns the audit projection; rebuild labeled frame
+    from metacheck_spark.pipeline import assemble_flags, with_labels
+
+    lab = with_labels(assemble_flags(images, us))
+    out = kept_output(lab, salt=4)
+    # Assert on the shuffle KEY distribution (lang, pmod(phash, salt)) —
+    # what determines task sizes at scale. (Physical partition counts are
+    # meaningless at test scale: AQE rightly coalesces 600 rows into one
+    # partition.)
+    kept = lab.filter(F2.col("keep"))
+    total = kept.count()
+    hot_share = (
+        kept.groupBy("lang").count().orderBy(F2.desc("count")).head()["count"]
+        / total
+    )
+    key_sizes = (
+        out.groupBy("lang", F2.pmod(F2.col("phash"), F2.lit(4)).alias("s"))
+        .count()
+        .collect()
+    )
+    biggest_key = max(r["count"] for r in key_sizes) / total
+    # the hot language holds ~35-50% of kept rows; salt=4 splits it ~4x
+    assert hot_share > 0.25
+    assert biggest_key < hot_share * 0.6, (biggest_key, hot_share)
+
+
 def test_url_modes_agree(spark, images_dir):
     """The broadcast-dict UDF path (scale default, zero shuffle) and the
     relational explode+join path produce identical labels."""
