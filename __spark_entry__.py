@@ -788,6 +788,59 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + array_sort (the reference's set-to-sorted-list
+    conversions, json_ld_utils.py:449-460)."""
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.array_sort(F.collect_set("source")).alias("sources"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+_LANG_SOURCES_SQL = """
+SELECT lang, list_sort(list_distinct(list(source))) AS sources,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of document length per language (text-analysis
+    extension; Spark `percentile` is exact, matching DuckDB quantile_cont)."""
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99"),
+        )
+    )
+
+
+_LENGTH_PERCENTILES_SQL = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90,
+       round(quantile_cont(n_chars, 0.99), 2) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+def q_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize path (decode -> block-mean resize -> re-encode)
+    over a synthesized slice; rows-only (binary output)."""
+    from metacheck_spark.fixtures.gen_images import gen_images_df
+    from metacheck_spark.operators.images import thumbnails
+
+    t = thumbnails(gen_images_df(spark, 200, partitions=8))
+    return t.select("image_id", "tw", "th", F.length("thumb").alias("thumb_bytes"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_counts": q_rule_counts,
@@ -820,6 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_docs": q_scrub_docs,
         "image_pipeline": q_image_pipeline,
         "image_features": q_image_features,
+        "lang_sources": q_lang_sources,
+        "length_percentiles": q_length_percentiles,
+        "thumbnails": q_thumbnails,
     }
 
 
@@ -849,6 +905,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_SQL,
         "running_daily": _RUNNING_DAILY_SQL,
         "date_parse": _DATE_PARSE_SQL,
+        "lang_sources": _LANG_SOURCES_SQL,
+        "length_percentiles": _LENGTH_PERCENTILES_SQL,
         # langid_docs / ppl_docs / scrub_docs / image_pipeline /
         # image_features: pandas-UDF model stages and binary decode are not
         # SQL-expressible -> rows-only driver check; value parity vs the
