@@ -788,6 +788,119 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Nested-schema parity (FIXTURES.md §2): SoMEF-shaped array<struct> columns
+# built deterministically from doc_id in BOTH engines, evaluated with the
+# F1-F6 sub-operators (first-match via element_at(filter(...),1), v-strip
+# normalization, strict P027 compare); output is flat booleans so the
+# value-hash comparison works across engines.
+
+
+def q_somef_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metacheck_spark.rules import somef as M
+
+    d = _documents(spark, sf_dir).select("doc_id")
+
+    def entry(value, source, tag=None):
+        return F.struct(
+            F.lit(1.0).alias("confidence"),
+            F.lit("code_parser").alias("technique"),
+            F.lit(source).alias("source"),
+            F.struct(
+                F.lit("String").alias("type"),
+                value.alias("value"),
+                F.lit(None).cast("string").alias("name"),
+                (tag if tag is not None else F.lit(None).cast("string")).alias("tag"),
+                F.lit(None).cast("string").alias("version"),
+            ).alias("result"),
+        )
+
+    did = F.col("doc_id")
+    meta_v = F.concat(F.lit("v1."), (did % 5).cast("string"), F.lit(".0"))
+    rel_tag = (
+        F.when(did % 3 == 0, F.concat(F.lit("1."), (did % 5).cast("string"), F.lit(".0")))
+        .when(did % 3 == 1, F.lit("2.0.0"))
+    )
+    pkg_v = F.when(did % 2 == 0, F.regexp_replace(meta_v, "^v", "")).otherwise(meta_v)
+    version = F.array(
+        entry(meta_v, "codemeta.json"),
+        entry(pkg_v, "package.json"),
+    )
+    entry_arr_t = (
+        "array<struct<confidence:double,technique:string,source:string,"
+        "result:struct<type:string,value:string,name:string,tag:string,"
+        "version:string>>>"
+    )
+    releases = F.when(did % 3 == 2, F.array().cast(entry_arr_t)).otherwise(
+        F.array(entry(F.lit(None).cast("string"), "GitHub_API", tag=rel_tag))
+    )
+    ident_v = (
+        F.when(did % 4 == 0, F.lit("   "))
+        .when(did % 4 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("doi:10.1234/x"), did.cast("string")))
+    )
+    identifier = F.array(entry(ident_v, "codemeta.json"))
+
+    df = (
+        d.withColumn("version", version)
+        .withColumn("releases", releases)
+        .withColumn("identifier", identifier)
+    )
+    return df.select(
+        "doc_id",
+        M.p001_version_mismatch(F.col("version"), F.col("releases")).alias("p001"),
+        M.p027_codemeta_version_mismatch(F.col("version")).alias("p027"),
+        M.w015_empty_identifier(F.col("identifier")).alias("w015"),
+    )
+
+
+_SOMEF_NESTED_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'v1.' || (doc_id % 5) || '.0' AS meta_v,
+         CASE WHEN doc_id % 3 = 0 THEN '1.' || (doc_id % 5) || '.0'
+              WHEN doc_id % 3 = 1 THEN '2.0.0' END AS rel_tag,
+         CASE WHEN doc_id % 4 = 0 THEN '   '
+              WHEN doc_id % 4 = 1 THEN NULL
+              ELSE 'doi:10.1234/x' || doc_id END AS ident_v
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+    [struct_pack(source := 'codemeta.json', value := meta_v),
+     struct_pack(source := 'package.json',
+                 value := CASE WHEN doc_id % 2 = 0
+                               THEN regexp_replace(meta_v, '^v', '')
+                               ELSE meta_v END)] AS version,
+    CASE WHEN doc_id % 3 = 2 THEN [] ELSE [struct_pack(tag := rel_tag)] END AS releases,
+    [struct_pack(source := 'codemeta.json', value := ident_v)] AS identifier
+  FROM base
+)
+SELECT doc_id,
+  -- P001: first metadata-source version (v-stripped) vs releases[1].tag (v-stripped)
+  coalesce(
+    regexp_replace(trim(list_filter(version, e -> contains(lower(e.source), 'codemeta.json')
+                                               OR contains(lower(e.source), 'package.json'))[1].value), '^[vV]', '')
+      IS NOT NULL
+    AND len(releases) > 0
+    AND regexp_replace(trim(releases[1].tag), '^[vV]', '') IS NOT NULL
+    AND regexp_replace(trim(list_filter(version, e -> contains(lower(e.source), 'codemeta.json')
+                                                   OR contains(lower(e.source), 'package.json'))[1].value), '^[vV]', '')
+        != regexp_replace(trim(releases[1].tag), '^[vV]', ''), FALSE) AS p001,
+  -- P027: codemeta version vs other metadata versions, STRICT compare
+  coalesce(
+    list_filter(version, e -> contains(lower(e.source), 'codemeta.json'))[1].value IS NOT NULL
+    AND len(list_filter(version, e -> NOT contains(lower(e.source), 'codemeta.json')
+                                      AND trim(e.value) != trim(list_filter(version,
+                                          x -> contains(lower(x.source), 'codemeta.json'))[1].value))) > 0,
+    FALSE) AS p027,
+  -- W015: codemeta identifier empty/blank
+  coalesce(len(identifier) > 0
+           AND (identifier[1].value IS NULL OR trim(identifier[1].value) = ''), FALSE) AS w015
+FROM built
+"""
+
+
 def q_lang_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + array_sort (the reference's set-to-sorted-list
     conversions, json_ld_utils.py:449-460)."""
@@ -873,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_docs": q_scrub_docs,
         "image_pipeline": q_image_pipeline,
         "image_features": q_image_features,
+        "somef_nested": q_somef_nested,
         "lang_sources": q_lang_sources,
         "length_percentiles": q_length_percentiles,
         "thumbnails": q_thumbnails,
@@ -905,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_SQL,
         "running_daily": _RUNNING_DAILY_SQL,
         "date_parse": _DATE_PARSE_SQL,
+        "somef_nested": _SOMEF_NESTED_SQL,
         "lang_sources": _LANG_SOURCES_SQL,
         "length_percentiles": _LENGTH_PERCENTILES_SQL,
         # langid_docs / ppl_docs / scrub_docs / image_pipeline /
