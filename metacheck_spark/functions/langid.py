@@ -78,18 +78,38 @@ for _lang, _words in LEXICONS.items():
         _seen[key] = _lang
 
 
+# token -> language index (the linear model's feature table). A lexicon
+# word matches `(?<!\w)w(?!\w)` exactly when a maximal \w+ token equals it
+# (lexicon words contain no non-word chars), so counting dict-mapped tokens
+# is equivalent to the per-language regex count — at ~1/30th the cost.
+_WORD2LANG = {
+    w.lower(): i for i, (_lang, words) in enumerate(LEXICONS.items()) for w in words
+}
+_TOKEN_RE = re.compile(r"\w+")
+
+
 def langid_batch(captions: pd.Series) -> tuple[pd.Series, pd.Series]:
-    """(lang, confidence) per caption. Vectorized: one .str.count pass per
-    language. conf = top_count / total_count; 'und' when no lexicon word
-    matches or confidence < CONF_THRESHOLD."""
-    s = captions.fillna("")
-    counts = np.stack(
-        [s.str.count(_PATTERNS[lang]).to_numpy(dtype=np.int64) for lang in LANGS],
-        axis=1,
-    )
+    """(lang, confidence) per caption. Vectorized: one tokenize pass, one
+    dict lookup per token, per-row per-lang tallies via np.add.at.
+    conf = top_count / total_count; 'und' when no lexicon word matches or
+    confidence < CONF_THRESHOLD."""
+    toks_per = captions.fillna("").str.lower().str.findall(_TOKEN_RE)
+    lens = toks_per.str.len().to_numpy(dtype=np.int64)
+    n = len(captions)
+    counts = np.zeros((n, len(LANGS)), dtype=np.int64)
+    if lens.sum():
+        get = _WORD2LANG.get
+        flat = np.fromiter(
+            (get(t, -1) for row in toks_per for t in row),
+            dtype=np.int64,
+            count=int(lens.sum()),
+        )
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hit = flat >= 0
+        np.add.at(counts, (row_ids[hit], flat[hit]), 1)
     total = counts.sum(axis=1)
     best = counts.argmax(axis=1)
-    top = counts[np.arange(len(s)), best]
+    top = counts[np.arange(n), best]
     with np.errstate(divide="ignore", invalid="ignore"):
         conf = np.where(total > 0, top / np.maximum(total, 1), 0.0)
     langs = np.where(
