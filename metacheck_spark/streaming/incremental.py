@@ -66,6 +66,45 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_full_pipeline_available_now(
+    spark: SparkSession,
+    input_path: str,
+    url_status: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+) -> None:
+    """The FULL quality-filter pipeline (binary sanity + decode + fused
+    caption-model UDF + keep/drop + scrub) over the file stream — the same
+    assemble_flags/with_labels plan as batch, which Structured Streaming
+    accepts unchanged because every stage is narrow (no shuffle). Each
+    AvailableNow run processes exactly the new files since the checkpoint:
+    the streaming counterpart of the bucket-ledger resume."""
+    from metacheck_spark.pipeline import assemble_flags, with_labels
+
+    stream = read_images_stream(spark, input_path)
+    labeled = with_labels(assemble_flags(stream, url_status, url_mode="udf"))
+    out = labeled.select(
+        "image_id",
+        "rule_hits",
+        "n_pitfalls",
+        "n_warnings",
+        "keep",
+        "lang",
+        "lang_conf",
+        "ppl",
+        "scrubbed_caption",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_stream_dedup(flags_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: exactly-once emission of each distinct
     caption fingerprint across micro-batches via applyInPandasWithState —

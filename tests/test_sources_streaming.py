@@ -107,6 +107,40 @@ def test_available_now_is_incremental(spark, tmp_path):
     assert set(got.columns) == {"image_id", "caption", "rule_hits", "keep"}
 
 
+def test_full_pipeline_stream_matches_batch(spark, images_dir, tmp_path):
+    """The complete 8-stage pipeline (decode + fused caption UDF + labels +
+    scrub) streamed with AvailableNow produces exactly the batch labels."""
+    import shutil
+
+    from metacheck_spark.pipeline import assemble_flags, with_labels
+    from metacheck_spark.streaming.incremental import (
+        run_full_pipeline_available_now,
+    )
+
+    src = tmp_path / "full_src"
+    src.mkdir()
+    shutil.copy(f"{images_dir}/images.parquet", src / "images.parquet")
+    us = spark.read.schema(URL_STATUS_SCHEMA).parquet(
+        f"{images_dir}/url_status.parquet"
+    )
+    out = str(tmp_path / "full_out")
+    run_full_pipeline_available_now(
+        spark, str(src), us, out, str(tmp_path / "full_ckpt")
+    )
+    got = {
+        r.image_id: (list(r.rule_hits), r.keep, r.lang, r.scrubbed_caption)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.read.schema(IMAGES_SCHEMA).parquet(f"{images_dir}/images.parquet")
+    want = {
+        r.image_id: (list(r.rule_hits), r.keep, r.lang, r.scrubbed_caption)
+        for r in with_labels(assemble_flags(batch, us))
+        .select("image_id", "rule_hits", "keep", "lang", "scrubbed_caption")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stateful_stream_dedup(spark, tmp_path):
     src = tmp_path / "dedup_in"
     src.mkdir()
