@@ -944,6 +944,76 @@ FROM documents GROUP BY lang
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/PCM16 decode + features over a binary column (rows-only; value
+    checks in tests/test_images_ops.py). Clips synthesized deterministically
+    per doc_id on executors via mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from metacheck_spark.operators.images import audio_features
+
+    def gen(batches):
+        from metacheck_spark.fixtures import codec
+
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                rate = 8000
+                t = np.arange(rate // 2) / rate
+                freq = 200 + (int(i) % 20) * 40
+                s = (9000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                recs.append((f"clip_{int(i):06d}", bytearray(codec.wav_encode(s, rate))))
+            yield pd.DataFrame(recs, columns=["clip_id", "audio"])
+
+    clips = spark.range(0, 200, 1, 8).mapInPandas(
+        gen, "clip_id string, audio binary"
+    )
+    feats = audio_features(clips)
+    return feats.select(
+        "clip_id",
+        "decoded_ok",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 2).alias("rms"),
+        "peak",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container frame sampling (offset-seek, every-2nd frame) over a
+    binary column (rows-only; value checks in pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from metacheck_spark.operators.images import sample_video_frames
+
+    def gen(batches):
+        from metacheck_spark.fixtures import codec
+
+        for pdf in batches:
+            recs = []
+            for i in pdf["id"]:
+                rng = np.random.Generator(np.random.PCG64(1000 + int(i)))
+                frames = [
+                    rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                    for _ in range(3 + int(i) % 4)
+                ]
+                recs.append((f"vid_{int(i):06d}", bytearray(codec.video_encode(frames))))
+            yield pd.DataFrame(recs, columns=["video_id", "video"])
+
+    vids = spark.range(0, 100, 1, 8).mapInPandas(gen, "video_id string, video binary")
+    out = sample_video_frames(vids, every_n=2)
+    return out.select(
+        "video_id",
+        "n_frames",
+        "n_sampled",
+        F.array_join(F.transform("frame_phashes", lambda p: p.cast("string")), ",").alias(
+            "phashes"
+        ),
+    )
+
+
 def q_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize path (decode -> block-mean resize -> re-encode)
     over a synthesized slice; rows-only (binary output)."""
@@ -990,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_sources": q_lang_sources,
         "length_percentiles": q_length_percentiles,
         "thumbnails": q_thumbnails,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 

@@ -176,3 +176,99 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# --- WAV/PCM audio (REAL codec — RIFF/PCM16 is pure struct + numpy) ---------
+
+WAV_RIFF = b"RIFF"
+
+
+def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono int16 PCM -> canonical 44-byte-header WAV bytes."""
+    pcm = samples.astype("<i2").tobytes()
+    n = len(pcm)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    return hdr + pcm
+
+
+def wav_decode(b: bytes | None) -> tuple[np.ndarray, int] | None:
+    """WAV bytes -> (mono int16 samples, sample_rate); None on failure.
+    Walks RIFF chunks (fmt then data), mono/PCM16 only."""
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, data = 12, None, None
+    try:
+        while pos + 8 <= len(b):
+            tag = b[pos : pos + 4]
+            (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + length]
+            if len(body) < length:
+                return None
+            if tag == b"fmt " and len(body) >= 16:
+                fmt, ch, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt != 1 or ch != 1 or bits != 16:
+                    return None
+            elif tag == b"data":
+                data = body
+            pos += 8 + length + (length & 1)
+    except struct.error:
+        return None
+    if rate is None or data is None or len(data) % 2:
+        return None
+    return np.frombuffer(data, dtype="<i2").copy(), int(rate)
+
+
+# --- deterministic multi-frame video container ("MJPEG-ish") ----------------
+# Layout: [4B magic 'MJPG'][4B n_frames BE] then per frame
+# [4B length BE][frame bytes (fake-JPEG or PNG)]. A real container needs a
+# demuxer library; this one keeps the Spark-side plumbing (binary column,
+# offset walk, every-Nth-frame decode) identical to the real thing.
+
+VIDEO_MAGIC = b"MJPG"
+
+
+def video_encode(frames: list[np.ndarray]) -> bytes:
+    out = [VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for arr in frames:
+        fb = jpeg_encode(arr)
+        out.append(struct.pack(">I", len(fb)))
+        out.append(fb)
+    return b"".join(out)
+
+
+def video_frame_offsets(b: bytes | None) -> list[tuple[int, int]]:
+    """[(offset, length)] per frame without decoding any pixel data."""
+    if b is None or len(b) < 8 or b[:4] != VIDEO_MAGIC:
+        return []
+    (n,) = struct.unpack(">I", b[4:8])
+    pos, out = 8, []
+    for _ in range(n):
+        if pos + 4 > len(b):
+            return []
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        if pos + 4 + length > len(b):
+            return []
+        out.append((pos + 4, length))
+        pos += 4 + length
+    return out
+
+
+def video_sample_frames(b: bytes | None, every_n: int = 2) -> list[np.ndarray]:
+    """Decode every Nth frame (seek by offset — untouched frames are never
+    decompressed, the property that matters at scale)."""
+    offs = video_frame_offsets(b)
+    out = []
+    for i, (off, length) in enumerate(offs):
+        if i % every_n == 0:
+            arr = decode(b[off : off + length])
+            if arr is not None:
+                out.append(arr)
+    return out

@@ -114,17 +114,108 @@ def thumbnails(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(op, THUMB_SCHEMA)
 
 
-# --- stubs: libraries absent in this container ------------------------------
+# --- audio: real RIFF/PCM16 decode (stdlib struct + numpy; codec.py) --------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
 
 
-def decode_audio(samples: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """STUB: audio decode requires an audio codec library not present in
-    this container. The Spark plumbing (binary column + mapInPandas batch
-    shape) is identical to extract_features."""
-    raise NotImplementedError("audio decode requires an audio codec library")
+def audio_features(clips: DataFrame, id_col: str = "clip_id", bytes_col: str = "audio") -> DataFrame:
+    """Per-clip features (duration, RMS, peak) via mapInPandas over the
+    binary column — same Arrow-batch plumbing as image decode. WAV/PCM16
+    decode is REAL (fixtures/codec.py wav_decode); compressed codecs (mp3/
+    opus) would slot in behind the same decode call when a codec library
+    is available."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metacheck_spark.fixtures import codec
+
+        for pdf in batches:
+            recs = []
+            for cid, b in zip(pdf[id_col], pdf[bytes_col]):
+                d = codec.wav_decode(bytes(b)) if b is not None else None
+                if d is None:
+                    recs.append((cid, False, None, None, None, None))
+                else:
+                    samples, rate = d
+                    x = samples.astype(np.float64)
+                    recs.append(
+                        (
+                            cid,
+                            True,
+                            rate,
+                            len(samples) / rate if rate else None,
+                            float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                            int(np.abs(samples).max()) if len(samples) else 0,
+                        )
+                    )
+            cols = list(zip(*recs)) if recs else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    "clip_id": list(cols[0]),
+                    "decoded_ok": list(cols[1]),
+                    "sample_rate": pd.array(cols[2], dtype="Int32"),
+                    "duration_s": pd.array(cols[3], dtype="float64"),
+                    "rms": pd.array(cols[4], dtype="float64"),
+                    "peak": pd.array(cols[5], dtype="Int32"),
+                }
+            )
+
+    return clips.select(id_col, bytes_col).mapInPandas(op, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_video_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
-    """STUB: video frame sampling requires a video demuxer not present in
-    this container."""
-    raise NotImplementedError("video frame sampling requires a video demuxer")
+# --- video: frame sampling over the deterministic container (codec.py) ------
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("frame_phashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def sample_video_frames(
+    videos: DataFrame,
+    every_n: int = 2,
+    id_col: str = "video_id",
+    bytes_col: str = "video",
+) -> DataFrame:
+    """Every-Nth-frame sampling + per-frame phash via mapInPandas. The
+    container index is walked by offset, so skipped frames are never
+    decompressed — the property that matters when the payload is a
+    multi-GB video and only keyframes are wanted. The container format is
+    the deterministic sandbox stand-in (codec.py VIDEO_MAGIC); a real
+    demuxer would replace video_frame_offsets/decode only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metacheck_spark.fixtures import codec
+
+        for pdf in batches:
+            recs = []
+            for vid, b in zip(pdf[id_col], pdf[bytes_col]):
+                bb = bytes(b) if b is not None else None
+                offs = codec.video_frame_offsets(bb)
+                frames = codec.video_sample_frames(bb, every_n)
+                recs.append(
+                    (
+                        vid,
+                        len(offs),
+                        len(frames),
+                        [codec.average_phash(f) for f in frames],
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields]
+            )
+
+    return videos.select(id_col, bytes_col).mapInPandas(op, VIDEO_FRAMES_SCHEMA)
