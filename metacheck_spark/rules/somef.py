@@ -232,3 +232,323 @@ def w010_unversioned_names(langs_cat: Column) -> Column:
         & e["result"]["version"].isNull(),
     )
     return F.transform(cm, lambda e: F.coalesce(e["result"]["name"], e["result"]["value"]))
+
+
+# ---------------------------------------------------------------------------
+# Full 27-rule battery over the nested schema.
+#
+# The caption-recast registry (rules/registry.py) already carries each text
+# pattern as a Column->Column predicate; here each rule applies that same
+# predicate to the VALUE SELECTED THE REFERENCE'S WAY — first qualifying
+# entry of the right category (F2+F3) — so the nested surface composes
+# selection semantics with the shared pattern logic instead of duplicating
+# either. Rules needing cross-entry or binary context get bespoke builders
+# (p001/p019/p026/p027 above and below).
+
+from pyspark.sql import DataFrame  # noqa: E402
+
+from metacheck_spark.functions import patterns as PAT  # noqa: E402
+from metacheck_spark.rules import registry as R  # noqa: E402
+
+# rule code -> (category column name, selection) for the plain
+# "pattern over first selected value" rules.
+#   'meta'     = first metadata-file entry (F2+F3)
+#   'codemeta' = first codemeta.json-sourced entry
+#   'any'      = first entry of the category
+_VALUE_RULES: dict[str, tuple[str, str]] = {
+    "P002": ("license", "meta"),
+    "P006": ("readme_url", "codemeta"),
+    "P007": ("reference_publication", "codemeta"),
+    "P008": ("license", "meta"),
+    "W015": ("identifier", "codemeta"),
+    "P017": ("license", "meta"),
+    "P018": ("issues_url", "codemeta"),
+    "P020": ("development_status", "codemeta"),
+    "W021": ("authors", "meta"),
+    "P022": ("license", "meta"),
+    "P023": ("code_repository", "meta"),
+    "P024": ("identifier", "codemeta"),
+    "P028": ("identifier", "codemeta"),
+}
+
+
+def codemeta_entries(cat: Column) -> Column:
+    return F.filter(
+        cat,
+        lambda e: F.lower(F.coalesce(e["source"], F.lit(""))).contains(
+            "codemeta.json"
+        ),
+    )
+
+
+def _select_value(cat: Column, how: str) -> Column:
+    if how == "meta":
+        return first_metadata_value(cat)
+    if how == "codemeta":
+        return first_match(codemeta_entries(cat))["result"]["value"]
+    return first_match(cat)["result"]["value"]
+
+
+def _registry_pred(code: str):
+    rule = next(r for r in R.REGISTRY if r.code == code)
+    return rule.spark
+
+
+def w003_unversioned_requirement(req_cat: Column) -> Column:
+    """>=1 requirement with neither a version field nor an operator in its
+    value (w003.py:33-52 — operators {== >= <= > < ~= != ^ ~})."""
+    return F.exists(
+        req_cat,
+        lambda e: (
+            e["result"]["version"].isNull()
+            | (F.trim(F.coalesce(e["result"]["version"], F.lit(""))) == "")
+        )
+        & ~F.coalesce(e["result"]["value"], F.lit("")).rlike(
+            r"(==|>=|<=|~=|!=|[><^~])"
+        ),
+    )
+
+
+def p005_multi_author(authors_cat: Column) -> Column:
+    """Metadata author value holds multiple entities: ' and ', ' & ', ';',
+    newline, or ',' unless followed by Jr. (p005.py:6-29 — the Jr. comma
+    exception is the documented quirk)."""
+    v = first_metadata_value(authors_cat)
+    return v.rlike(r"( and | & |;|\n|,(?!\s+[Jj]r\.?))")
+
+
+def w012_packed_requirements(req_cat: Column) -> Column:
+    """One requirement string encoding several: splits into >1 part on
+    2+ spaces, else on space-before-capital (w012.py:6-39)."""
+    return F.exists(
+        req_cat,
+        lambda e: F.coalesce(e["result"]["value"], F.lit("")).rlike(r"\S\s{2,}\S")
+        | F.coalesce(e["result"]["value"], F.lit("")).rlike(r"\S (?=[A-Z])"),
+    )
+
+
+def p016_homepage_as_repo(code_repo_cat: Column) -> Column:
+    """Metadata code_repository looks like a homepage, not a repo
+    (p016.py:5-28: homepage indicators AND no repo-host indicator)."""
+    from metacheck_spark.functions import patterns as _P
+
+    v = first_metadata_value(code_repo_cat)
+    home = v.rlike(
+        r"(?i)(\.org/|\.com/|\.net/|\.io/|www\.|docs\.|documentation|readthedocs|github\.io)"
+    )
+    repo = v.rlike(_P.REPO_HOST) | v.rlike(r"(?i)(//git\.|\.git\b)")
+    return home & ~repo
+
+
+def w004_stale_vs_codemeta(date_updated_cat: Column) -> Column:
+    """GitHub_API date_updated > codemeta dateModified by more than 1 day
+    (w004.py:104-145): two F3 selections from the same category, the
+    5-format timestamp ladder on each."""
+    api_raw = first_match(technique_entries(date_updated_cat, "GitHub_API"))[
+        "result"
+    ]["value"]
+    cm_raw = first_match(codemeta_entries(date_updated_cat))["result"]["value"]
+
+    def parse(raw: Column) -> Column:
+        return F.coalesce(
+            *[F.try_to_timestamp(raw, F.lit(f)) for f, _ in PAT.DATE_FORMATS]
+        )
+
+    upd, mod = parse(api_raw), parse(cm_raw)
+    return upd.isNotNull() & mod.isNotNull() & (F.datediff(upd, mod) > 1)
+
+
+def w014_name_id_while_valid_exists(identifier_cat: Column) -> Column:
+    """Codemeta identifier is name-like (not DOI, not URL) while a valid
+    DOI/URL identifier exists in ANOTHER entry (w014.py:47-112): two
+    selections over the same array."""
+    valid = (
+        lambda v: v.rlike(r"(?i)^(doi:)?10\.\d{4,}/\S+$")
+        | v.rlike(r"(?i)^https?://\S+$")
+    )
+    cm_v = F.trim(first_match(codemeta_entries(identifier_cat))["result"]["value"])
+    name_like = (
+        cm_v.isNotNull() & (cm_v != "") & ~valid(cm_v) & cm_v.rlike(r"^[A-Za-z][\w-]*$")
+    )
+    other_valid = F.exists(
+        identifier_cat,
+        lambda e: e["result"]["value"].isNotNull()
+        & valid(F.trim(e["result"]["value"])),
+    )
+    return name_like & other_valid
+
+
+def p011_citation_without_doi(reference_publication_cat: Column,
+                              identifier_cat: Column) -> Column:
+    """Reference-publication present while no DOI-valued identifier exists
+    anywhere (p011.py:4-57 cross-category correlation, recast to the two
+    categories this schema carries)."""
+    has_ref = category_present(reference_publication_cat)
+    has_doi = F.exists(
+        identifier_cat,
+        lambda e: F.coalesce(e["result"]["value"], F.lit("")).rlike(
+            PAT.DOI_ANYWHERE
+        ),
+    )
+    return has_ref & ~has_doi
+
+
+def p019_download_url_version_mismatch(download_url_cat: Column,
+                                       releases_cat: Column) -> Column:
+    """Version parsed from the codemeta download_url != latest release tag
+    after v-strip (p019.py:60-110)."""
+    url = first_match(codemeta_entries(download_url_cat))["result"]["value"]
+    url_v = F.regexp_extract(url, r"[/-]v?(\d+\.\d+(?:\.\d+)?)(?:\.(?:zip|tar\.gz|tgz))?(?:$|[/?#])", 1)
+    rel = F.try_element_at(releases_cat, F.lit(1))
+    rel_v = normalize_version(rel["result"]["tag"])
+    return (
+        (url_v != "") & url_v.isNotNull()
+        & rel_v.isNotNull()
+        & (url_v != rel_v)
+    )
+
+
+def w010_flag(langs_cat: Column) -> Column:
+    return w010_language_without_version(langs_cat)
+
+
+def nested_rule_flags(df: DataFrame, url_status_map: dict[str, int] | None = None) -> DataFrame:
+    """Append one boolean `hit_<code>` column per reference rule, evaluated
+    over the nested SoMEF columns with the reference's own selection
+    semantics. Missing categories (column absent from df) make the rule
+    abstain (null -> false), mirroring F1.
+
+    URL-status rules (P013 over software_requirements, P025 over
+    continuous_integration) evaluate against the frozen dict when given,
+    else abstain — same contract as the pipeline's url_mode='udf'.
+    """
+    cols = set(df.columns)
+
+    def cat(name: str) -> Column | None:
+        return F.col(name) if name in cols else None
+
+    flags: dict[str, Column] = {}
+    for code, (category, how) in _VALUE_RULES.items():
+        c = cat(category)
+        if c is None:
+            flags[code] = F.lit(False)
+            continue
+        value = _select_value(c, how)
+        if code == "W015":
+            flags[code] = w015_empty_identifier(c)
+        else:
+            flags[code] = F.coalesce(_registry_pred(code)(value), F.lit(False))
+
+    if cat("version") is not None:
+        rel = cat("releases")
+        flags["P001"] = (
+            F.coalesce(p001_version_mismatch(F.col("version"), rel), F.lit(False))
+            if rel is not None
+            else F.lit(False)
+        )
+        flags["P027"] = F.coalesce(
+            p027_codemeta_version_mismatch(F.col("version")), F.lit(False)
+        )
+    else:
+        flags["P001"] = flags["P027"] = F.lit(False)
+
+    flags["W003"] = (
+        F.coalesce(w003_unversioned_requirement(F.col("requirements")), F.lit(False))
+        if cat("requirements") is not None
+        else F.lit(False)
+    )
+    flags["W012"] = (
+        F.coalesce(w012_packed_requirements(F.col("requirements")), F.lit(False))
+        if cat("requirements") is not None
+        else F.lit(False)
+    )
+    flags["P005"] = (
+        F.coalesce(p005_multi_author(F.col("authors")), F.lit(False))
+        if cat("authors") is not None
+        else F.lit(False)
+    )
+    flags["P016"] = (
+        F.coalesce(p016_homepage_as_repo(F.col("code_repository")), F.lit(False))
+        if cat("code_repository") is not None
+        else F.lit(False)
+    )
+    flags["W004"] = (
+        F.coalesce(w004_stale_vs_codemeta(F.col("date_updated")), F.lit(False))
+        if cat("date_updated") is not None
+        else F.lit(False)
+    )
+    flags["W010"] = (
+        F.coalesce(w010_flag(F.col("programming_languages")), F.lit(False))
+        if cat("programming_languages") is not None
+        else F.lit(False)
+    )
+    flags["W014"] = (
+        F.coalesce(w014_name_id_while_valid_exists(F.col("identifier")), F.lit(False))
+        if cat("identifier") is not None
+        else F.lit(False)
+    )
+    flags["P011"] = (
+        F.coalesce(
+            p011_citation_without_doi(
+                F.col("reference_publication"), F.col("identifier")
+            ),
+            F.lit(False),
+        )
+        if cat("reference_publication") is not None and cat("identifier") is not None
+        else F.lit(False)
+    )
+    flags["P026"] = (
+        F.coalesce(p026_repo_mismatch(F.col("code_repository")), F.lit(False))
+        if cat("code_repository") is not None
+        else F.lit(False)
+    )
+    flags["P019"] = (
+        F.coalesce(
+            p019_download_url_version_mismatch(
+                F.col("download_url"), F.col("releases")
+            ),
+            F.lit(False),
+        )
+        if cat("download_url") is not None and cat("releases") is not None
+        else F.lit(False)
+    )
+
+    # URL-accessibility rules against the frozen dimension (quirk pair:
+    # P013 2xx∪301 ok over software_requirements, p013.py:47; P025 strict
+    # 2xx over continuous_integration, p025.py:40-41).
+    def url_flag(category: str, ok) -> Column:
+        c = cat(category)
+        if c is None or not url_status_map:
+            return F.lit(False)
+        status_map = F.create_map(
+            *[
+                F.lit(x)
+                for url, code_ in url_status_map.items()
+                for x in (url, code_)
+            ]
+        )
+        value = first_match(c)["result"]["value"]
+        urls = F.transform(
+            F.regexp_extract_all(value, F.lit(PAT.URL_EXTRACT), 0),
+            lambda u: F.regexp_replace(u, PAT.URL_TRAILING_PUNCT, ""),
+        )
+        return F.coalesce(
+            F.exists(
+                urls,
+                lambda u: status_map[u].isNotNull() & ~ok(status_map[u]),
+            ),
+            F.lit(False),
+        )
+
+    flags["P013"] = url_flag(
+        "software_requirements",
+        lambda s: ((s >= 200) & (s < 300)) | (s == 301),
+    )
+    flags["P025"] = url_flag(
+        "continuous_integration", lambda s: (s >= 200) & (s < 300)
+    )
+
+    out = df
+    for code in [r.code for r in R.REGISTRY if not r.code.startswith("X")]:
+        out = out.withColumn(f"hit_{code}", flags.get(code, F.lit(False)))
+    return out
