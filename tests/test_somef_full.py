@@ -163,3 +163,53 @@ def test_nested_rule(battery, code):
 
 def test_all_27_rules_covered():
     assert len({c for c, _, _ in CASES}) == 27
+
+
+def test_json_ingest_to_battery_e2e(spark, tmp_path):
+    """The reference's own workflow, Spark-first: a directory of SoMEF
+    JSON documents (one corrupt, skipped with isolation) -> schema-on-read
+    nested scan -> the 27-rule battery -> per-document hits."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from metacheck_spark.sources.readers import read_json_dir
+
+    d = tmp_path / "somef_docs"
+    d.mkdir()
+    doc1 = {
+        "file_name": "repo1",
+        "license": [
+            {"confidence": 1.0, "technique": "code_parser",
+             "source": "codemeta.json",
+             "result": {"type": "String", "value": "released under GPL"}}
+        ],
+        "identifier": [
+            {"confidence": 1.0, "technique": "code_parser",
+             "source": "codemeta.json",
+             "result": {"type": "String", "value": "doi:10.1234/abc"}}
+        ],
+    }
+    doc2 = {
+        "file_name": "repo2",
+        "license": [
+            {"confidence": 1.0, "technique": "code_parser",
+             "source": "codemeta.json",
+             "result": {"type": "String", "value": "GPL-3.0"}}
+        ],
+    }
+    (d / "a.json").write_text(json.dumps(doc1) + "\n" + json.dumps(doc2) + "\n")
+    (d / "broken.json").write_text("{not json at all\n")
+
+    schema = StructType.fromDDL(SCHEMA)
+    docs_df = read_json_dir(spark, str(d), schema)
+    flagged = nested_rule_flags(docs_df, URL_STATUS)
+    got = {r["file_name"]: r.asDict() for r in flagged.collect()}
+    assert set(got) == {"repo1", "repo2"}  # corrupt file isolated
+    assert got["repo1"]["hit_P022"] is True     # GPL without version
+    assert got["repo1"]["hit_P024"] is True     # bare DOI
+    assert got["repo2"]["hit_P022"] is False
+    # absent categories abstain (F1) — no spurious hits on repo2
+    assert not any(
+        v for k, v in got["repo2"].items() if k.startswith("hit_") and k != "hit_P022"
+    )
