@@ -14,18 +14,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The 8 metadata filenames the reference recognizes as metadata sources
-# (/root/reference .../utils/pitfall_utils.py:88-89, duplicated at
-# json_ld_utils.py:107-138).
+# The 8 metadata filenames the reference recognizes as metadata sources —
+# the canonical list repeated in p001.py:18, w003.py:17, p005.py:55,
+# p008/p013/p016/p022/p023/p027/w012/w021 (case varies per detector;
+# comparison here is lowercase-contains, the broader of the two variants).
 METADATA_FILES = [
     "codemeta.json",
-    "package.json",
-    "pyproject.toml",
-    "setup.py",
-    "pom.xml",
-    "cargo.toml",
     "description",
-    "citation.cff",
+    "composer.json",
+    "package.json",
+    "pom.xml",
+    "pyproject.toml",
+    "requirements.txt",
+    "setup.py",
 ]
 
 # Target language set + aliases (pitfall_utils.py:5-38, target set :10).
@@ -75,6 +76,42 @@ def metadata_entries(cat: Column) -> Column:
 
 def technique_entries(cat: Column, technique: str) -> Column:
     return F.filter(cat, lambda e: e["technique"] == technique)
+
+
+def metadata_source_entries(cat: Column) -> Column:
+    """Source-filename-only entry filter — the p001.py:24 / w003.py:23
+    variant that does NOT require technique == code_parser."""
+    return F.filter(cat, _source_is_metadata)
+
+
+def scalar_value(e: Column) -> Column:
+    """The reference handles result.value being a plain string OR a
+    structured dict with a 'name' field, and SKIPS list values
+    (e.g. p005.py:70-89: isinstance str -> use, isinstance dict -> use
+    ['name'], else ignore). Spark's JSON reader stringifies objects into a
+    declared string field, so a structured value arrives as JSON text —
+    unwrap $.name for objects, null out arrays."""
+    v = e["result"]["value"]
+    t = F.trim(v)
+    return (
+        F.when(_is_stringified_array(t), F.lit(None).cast("string"))
+        .when(_is_stringified_object(t), F.get_json_object(v, "$.name"))
+        .otherwise(v)
+    )
+
+
+def _is_stringified_array(t: Column) -> Column:
+    """True for Spark's stringification of a genuine JSON array (always
+    double-quoted, no trailing text). Bracketed plain text like
+    "['William', 'Michael'] Landau" — a python-repr embedded in a real
+    string, the very thing W021 hunts — stays a string. (get_json_object
+    can't arbitrate: it is lenient about single quotes AND trailing
+    garbage.)"""
+    return t.startswith("[") & t.endswith("]") & ~t.contains("'")
+
+
+def _is_stringified_object(t: Column) -> Column:
+    return t.startswith("{") & t.endswith("}") & ~t.contains("'")
 
 
 # --- F3: first-match selection ---------------------------------------------
@@ -140,8 +177,11 @@ def extract_languages(langs_cat: Column) -> Column:
 
 def p001_version_mismatch(version_cat: Column, releases_cat: Column) -> Column:
     """First metadata-file version != releases[0].tag after v-strip
-    (p001.py:65-94; 'latest release' is positional releases[0], :54)."""
-    meta_v = normalize_version(first_metadata_value(version_cat))
+    (p001.py:65-94; 'latest release' is positional releases[0], :54;
+    selection is source-filename-only, no technique gate, p001.py:24)."""
+    meta_v = normalize_version(
+        first_match(metadata_source_entries(version_cat))["result"]["value"]
+    )
     rel = F.try_element_at(releases_cat, F.lit(1))
     rel_v = normalize_version(rel["result"]["tag"])
     return (
@@ -175,16 +215,15 @@ def p027_codemeta_version_mismatch(version_cat: Column) -> Column:
 
 
 def w015_empty_identifier(identifier_cat: Column) -> Column:
-    """Codemeta identifier empty/blank (w015.py:4-35)."""
-    cm = F.filter(
+    """Codemeta identifier present-but-blank (w015.py:22-35: the entry
+    must carry a 'value' key; entries without one are skipped, so a null
+    value here — indistinguishable from key-absent after schema read —
+    abstains; only blank strings fire)."""
+    return F.exists(
         identifier_cat,
-        lambda e: F.lower(F.coalesce(e["source"], F.lit(""))).contains(
-            "codemeta.json"
-        ),
-    )
-    v = first_match(cm)["result"]["value"]
-    return category_present(identifier_cat) & (
-        v.isNull() | (F.trim(v) == "")
+        lambda e: F.lower(F.coalesce(e["source"], F.lit(""))).contains("codemeta")
+        & e["result"]["value"].isNotNull()
+        & (F.trim(e["result"]["value"]) == ""),
     )
 
 
@@ -200,16 +239,19 @@ def _normalize_repo_url(u: Column) -> Column:
 
 def p026_repo_mismatch(code_repository_cat: Column) -> Column:
     """Normalized codemeta code_repository != normalized GitHub_API repo
-    URL (p026.py:27-82): two F3 selections from the SAME array — one by
-    source, one by technique."""
-    meta = first_metadata_value(code_repository_cat)
-    api = first_match(technique_entries(code_repository_cat, "GitHub_API"))[
-        "result"
-    ]["value"]
-    return (
-        meta.isNotNull()
-        & api.isNotNull()
-        & (_normalize_repo_url(meta) != _normalize_repo_url(api))
+    URL (p026.py:27-82): the LAST GitHub_API entry wins (the reference's
+    loop overwrites, :56-57), the metadata side is EVERY codemeta.json-
+    sourced entry (:58-63), and ANY mismatch fires (:69-75)."""
+    apis = technique_entries(code_repository_cat, "GitHub_API")
+    api = F.when(
+        F.size(apis) > 0, F.try_element_at(apis, F.size(apis))["result"]["value"]
+    )
+    return api.isNotNull() & F.exists(
+        code_repository_cat,
+        lambda e: (F.coalesce(e["technique"], F.lit("")) != "GitHub_API")
+        & F.lower(F.coalesce(e["source"], F.lit(""))).contains("codemeta.json")
+        & e["result"]["value"].isNotNull()
+        & (_normalize_repo_url(e["result"]["value"]) != _normalize_repo_url(api)),
     )
 
 
@@ -256,16 +298,12 @@ from metacheck_spark.rules import registry as R  # noqa: E402
 #   'codemeta' = first codemeta.json-sourced entry
 #   'any'      = first entry of the category
 _VALUE_RULES: dict[str, tuple[str, str]] = {
-    "P002": ("license", "meta"),
     "P006": ("readme_url", "codemeta"),
     "P007": ("reference_publication", "codemeta"),
-    "P008": ("license", "meta"),
     "W015": ("identifier", "codemeta"),
     "P017": ("license", "meta"),
     "P018": ("issues_url", "codemeta"),
     "P020": ("development_status", "codemeta"),
-    "W021": ("authors", "meta"),
-    "P022": ("license", "meta"),
     "P023": ("code_repository", "meta"),
     "P024": ("identifier", "codemeta"),
     "P028": ("identifier", "codemeta"),
@@ -282,11 +320,16 @@ def codemeta_entries(cat: Column) -> Column:
 
 
 def _select_value(cat: Column, how: str) -> Column:
+    # scalar_value mirrors the reference's isinstance-str guards: dict
+    # values contribute their $.name, list values are skipped entirely
+    # (critical on real corpora, where authors/requirements are often
+    # structured and would otherwise leak JSON brackets/commas into the
+    # text patterns).
     if how == "meta":
-        return first_metadata_value(cat)
+        return scalar_value(first_match(metadata_entries(cat)))
     if how == "codemeta":
-        return first_match(codemeta_entries(cat))["result"]["value"]
-    return first_match(cat)["result"]["value"]
+        return scalar_value(first_match(codemeta_entries(cat)))
+    return scalar_value(first_match(cat))
 
 
 def _registry_pred(code: str):
@@ -295,49 +338,200 @@ def _registry_pred(code: str):
 
 
 def w003_unversioned_requirement(req_cat: Column) -> Column:
-    """>=1 requirement with neither a version field nor an operator in its
-    value (w003.py:33-52 — operators {== >= <= > < ~= != ^ ~})."""
-    return F.exists(
-        req_cat,
-        lambda e: (
-            e["result"]["version"].isNull()
-            | (F.trim(F.coalesce(e["result"]["version"], F.lit(""))) == "")
-        )
-        & ~F.coalesce(e["result"]["value"], F.lit("")).rlike(
-            r"(==|>=|<=|~=|!=|[><^~])"
-        ),
+    """FIRST metadata-source requirements entry (w003.py:20-28, source-
+    filename match only, break on first) is unversioned: no non-blank
+    version field and no operator in the value (w003.py:33-52 — operators
+    {== >= <= > < ~= != ^ ~})."""
+    first = first_match(metadata_source_entries(req_cat))
+    has_version = (
+        first["result"]["version"].isNotNull()
+        & (F.trim(first["result"]["version"]) != "")
+    ) | F.coalesce(first["result"]["value"], F.lit("")).rlike(
+        r"(==|>=|<=|~=|!=|[><^~])"
     )
+    return first.isNotNull() & ~has_version
+
+
+_P005_SEPARATORS = r"(?i)( and | & |;|\n|,(?!\s+Jr\.?))"
 
 
 def p005_multi_author(authors_cat: Column) -> Column:
-    """Metadata author value holds multiple entities: ' and ', ' & ', ';',
-    newline, or ',' unless followed by Jr. (p005.py:6-29 — the Jr. comma
-    exception is the documented quirk)."""
-    v = first_metadata_value(authors_cat)
-    return v.rlike(r"( and | & |;|\n|,(?!\s+[Jj]r\.?))")
+    """ANY code_parser metadata author entry whose value (plain string or
+    structured $.name) holds multiple entities: ' and ', ' & ', ';',
+    newline, or ',' unless followed by Jr. — the Jr. comma exception and
+    IGNORECASE matching are p005.py:14-29; the scan-all-entries loop is
+    p005.py:58-89."""
+    return F.exists(
+        metadata_entries(authors_cat),
+        lambda e: F.coalesce(scalar_value(e), F.lit("")).rlike(_P005_SEPARATORS),
+    )
 
 
 def w012_packed_requirements(req_cat: Column) -> Column:
-    """One requirement string encoding several: splits into >1 part on
-    2+ spaces, else on space-before-capital (w012.py:6-39)."""
-    return F.exists(
-        req_cat,
-        lambda e: F.coalesce(e["result"]["value"], F.lit("")).rlike(r"\S\s{2,}\S")
-        | F.coalesce(e["result"]["value"], F.lit("")).rlike(r"\S (?=[A-Z])"),
+    """One requirement STRING encoding several: splits into >1 part on
+    2+ spaces, else on space-before-capital (w012.py:6-39).
+
+    Entry filter preserved verbatim from w012.py:66-70 including its
+    oddity: technique ∈ metadata FILENAMES (SURVEY.md §2.2 notes the
+    quirk) OR source containing one of ONLY {codemeta.json, setup.py,
+    pom.xml}. String values and single-element list values are examined
+    (w012.py:74-98); longer lists are skipped."""
+
+    def qualifies(e: Column) -> Column:
+        tech = F.coalesce(e["technique"], F.lit(""))
+        src = F.lower(F.coalesce(e["source"], F.lit("")))
+        return tech.isin(METADATA_FILES) | (
+            src.contains("codemeta.json")
+            | src.contains("setup.py")
+            | src.contains("pom.xml")
+        )
+
+    def fires(e: Column) -> Column:
+        raw = e["result"]["value"]
+        t = F.trim(raw)
+        # 1-element stringified list -> its sole string; longer lists skipped
+        v = (
+            F.when(
+                _is_stringified_array(t),
+                F.when(
+                    F.get_json_object(raw, "$[1]").isNull(),
+                    F.get_json_object(raw, "$[0]"),
+                ),
+            )
+            .when(_is_stringified_object(t), F.lit(None).cast("string"))
+            .otherwise(raw)
+        )
+        v = F.coalesce(v, F.lit(""))
+        return qualifies(e) & (v.rlike(r"\S\s{2,}\S") | v.rlike(r"\S (?=[A-Z])"))
+
+    return F.exists(req_cat, fires)
+
+
+def w021_author_bracket_list(authors_cat: Column) -> Column:
+    """Metadata author STRING embedding a bracketed comma list like
+    "['William', 'Michael'] Landau" (w021.py:41-54) — genuine structured
+    list values (valid JSON) are a different shape and do not fire."""
+
+    def fires(e: Column) -> Column:
+        v = e["result"]["value"]
+        t = F.trim(v)
+        plain = v.isNotNull() & ~_is_stringified_array(t) & ~_is_stringified_object(t)
+        return plain & v.rlike(r"\[[^\]\[]*,[^\]\[]*\]")
+
+    return F.exists(metadata_entries(authors_cat), fires)
+
+
+# The 13 placeholder patterns of p002.py:37-51, as one alternation over
+# the lowercased LICENSE.md content.
+_P002_PLACEHOLDERS_FULL = (
+    r"(<program>|<year>|<name of author>|<name>|<copyright holders?>|<owner>"
+    r"|<author>|\[year\]|\[fullname\]|\[name\]|\[copyright holder\]|<yyyy>"
+    r"|<name of copyright owner>)"
+)
+
+
+def p002_license_placeholders(license_cat: Column) -> Column:
+    """FIRST entry whose source contains LICENSE.md (p002.py:17-26, break
+    on first) has template placeholders in its content (13 patterns,
+    lowercased match, p002.py:30-59)."""
+    lic = first_match(
+        F.filter(
+            license_cat,
+            lambda e: F.coalesce(e["source"], F.lit("")).contains("LICENSE.md"),
+        )
     )
+    return F.lower(F.coalesce(lic["result"]["value"], F.lit(""))).rlike(
+        _P002_PLACEHOLDERS_FULL
+    )
+
+
+# p022.py:28-35 — family presence is SUBSTRING on the uppercased value
+# (no word boundary: 'LGPL-3.0' contains 'GPL' but its version pattern
+# also matches, so it does not fire), versioned patterns verbatim.
+_P022_FAMILIES_FULL = [
+    ("GPL", r"GPL-?\d+(\.\d+)?"),
+    ("LGPL", r"LGPL-?\d+(\.\d+)?"),
+    ("AGPL", r"AGPL-?\d+(\.\d+)?"),
+    ("APACHE", r"APACHE-?\d+(\.\d+)?"),
+    ("CC", r"CC[- ]BY[- ]?\d+(\.\d+)?"),
+    ("BSD", r"BSD-?\d+[- ]CLAUSE"),
+]
+
+
+def p022_license_no_version(license_cat: Column) -> Column:
+    """ANY code_parser metadata license entry naming a license family
+    without its version (p022.py:37-61, scan-all with break-on-fire)."""
+
+    def entry_fires(e: Column) -> Column:
+        up = F.upper(F.coalesce(e["result"]["value"], F.lit("")))
+        cond = F.lit(False)
+        for fam, pat in _P022_FAMILIES_FULL:
+            cond = cond | (up.contains(fam) & ~up.rlike(pat))
+        return cond
+
+    return F.exists(metadata_entries(license_cat), entry_fires)
+
+
+_P016_REPO_INDICATORS = [
+    "github.com/", "gitlab.com/", "bitbucket.org/",
+    "sourceforge.net/projects/", "git.", ".git",
+]
+_P016_HOME_INDICATORS = [
+    ".org/", ".com/", ".net/", ".io/", "www.", "docs.",
+    "documentation", "readthedocs", "github.io",
+]
 
 
 def p016_homepage_as_repo(code_repo_cat: Column) -> Column:
-    """Metadata code_repository looks like a homepage, not a repo
-    (p016.py:5-28: homepage indicators AND no repo-host indicator)."""
-    from metacheck_spark.functions import patterns as _P
+    """ANY metadata code_repository entry that looks like a homepage, not
+    a repo (p016.py:14-22 repo indicators, :41-51 homepage indicators,
+    :88-107 scan-all loop with break-on-fire; repo indicator wins)."""
 
-    v = first_metadata_value(code_repo_cat)
-    home = v.rlike(
-        r"(?i)(\.org/|\.com/|\.net/|\.io/|www\.|docs\.|documentation|readthedocs|github\.io)"
+    def contains_any(v: Column, subs: list[str]) -> Column:
+        cond = F.lit(False)
+        for s in subs:
+            cond = cond | v.contains(s)
+        return cond
+
+    def fires(e: Column) -> Column:
+        v = F.lower(F.coalesce(e["result"]["value"], F.lit("")))
+        return ~contains_any(v, _P016_REPO_INDICATORS) & contains_any(
+            v, _P016_HOME_INDICATORS
+        )
+
+    return F.exists(metadata_source_entries(code_repo_cat), fires)
+
+
+_P008_FILE_NAMES = [
+    "license", "license.md", "license.txt", "license.rst",
+    "copying", "copying.md", "copying.txt",
+    "copyright", "copyright.md", "copyright.txt",
+    "licence", "licence.md", "licence.txt",
+    "readme.md", "doc.txt", "file.rst",
+]
+
+
+def p008_local_license(license_cat: Column) -> Column:
+    """ANY license entry from code_parser OR a metadata source whose value
+    is a local file reference instead of a license name (p008.py:5-38:
+    http(s) exempt; ./ or ../ prefix, any slash/backslash, a known license
+    filename, or a .md/.txt/.rst suffix fires; :63-77 entry loop — note
+    the OR between technique and source, unlike p005/p022's AND)."""
+
+    def is_local(v: Column) -> Column:
+        low = F.lower(F.trim(v))
+        not_http = ~low.startswith("http://") & ~low.startswith("https://")
+        rel = v.startswith("./") | v.startswith("../")
+        slash = v.contains("/") | v.contains("\\")
+        named = low.isin(_P008_FILE_NAMES)
+        ext = low.endswith(".md") | low.endswith(".txt") | low.endswith(".rst")
+        return v.isNotNull() & not_http & (rel | slash | named | ext)
+
+    return F.exists(
+        license_cat,
+        lambda e: ((e["technique"] == "code_parser") | _source_is_metadata(e))
+        & is_local(e["result"]["value"]),
     )
-    repo = v.rlike(_P.REPO_HOST) | v.rlike(r"(?i)(//git\.|\.git\b)")
-    return home & ~repo
 
 
 def w004_stale_vs_codemeta(date_updated_cat: Column) -> Column:
@@ -462,6 +656,11 @@ def nested_rule_flags(df: DataFrame, url_status_map: dict[str, int] | None = Non
         if cat("requirements") is not None
         else F.lit(False)
     )
+    flags["W021"] = (
+        F.coalesce(w021_author_bracket_list(F.col("authors")), F.lit(False))
+        if cat("authors") is not None
+        else F.lit(False)
+    )
     flags["P005"] = (
         F.coalesce(p005_multi_author(F.col("authors")), F.lit(False))
         if cat("authors") is not None
@@ -470,6 +669,21 @@ def nested_rule_flags(df: DataFrame, url_status_map: dict[str, int] | None = Non
     flags["P016"] = (
         F.coalesce(p016_homepage_as_repo(F.col("code_repository")), F.lit(False))
         if cat("code_repository") is not None
+        else F.lit(False)
+    )
+    flags["P002"] = (
+        F.coalesce(p002_license_placeholders(F.col("license")), F.lit(False))
+        if cat("license") is not None
+        else F.lit(False)
+    )
+    flags["P008"] = (
+        F.coalesce(p008_local_license(F.col("license")), F.lit(False))
+        if cat("license") is not None
+        else F.lit(False)
+    )
+    flags["P022"] = (
+        F.coalesce(p022_license_no_version(F.col("license")), F.lit(False))
+        if cat("license") is not None
         else F.lit(False)
     )
     flags["W004"] = (

@@ -32,19 +32,19 @@ def read_json_dir(
     multiline: bool = False,
 ) -> DataFrame:
     """Schema-on-read JSON scan over a directory glob or explicit path list
-    (S1/S2). PERMISSIVE mode + corrupt-record column reproduces the
-    reference's skip-bad-files semantics (detect_pitfalls_main.py:357-359)
-    without a Python loop: bad records land in _corrupt_record and are
-    dropped, good records flow on."""
-    full = _with_corrupt_col(schema)
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    (S1/S2). DROPMALFORMED reproduces the reference's skip-bad-files
+    semantics (detect_pitfalls_main.py:357-359) declaratively at the
+    source — no corrupt-record filter in the plan, so any downstream query
+    shape works (a PERMISSIVE+filter formulation breaks count()-style
+    plans: after pruning, the scan references only the internal corrupt
+    column, which Spark rejects). Use corrupt_records() for the
+    diagnostic complement."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
         .option("multiLine", str(multiline).lower())
         .json(path)
     )
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def corrupt_records(

@@ -46,8 +46,12 @@ CASES = [
      doc("t", version=[e("1.0.0")], releases=[e(tag="2.0.0")]),
      doc("n", version=[e("v1.0.0")], releases=[e(tag="1.0.0")])),
     ("P002",
-     doc("t", license=[e("copyright <year> template")]),
-     doc("n", license=[e("copyright 2024 Alice")])),
+     doc("t", license=[e("copyright <year> template",
+                         source="https://x/blob/main/LICENSE.md",
+                         technique="file_exploration")]),
+     doc("n", license=[e("copyright 2024 Alice",
+                         source="https://x/blob/main/LICENSE.md",
+                         technique="file_exploration")])),
     ("W003",
      doc("t", requirements=[e("numpy")]),
      doc("n", requirements=[e("numpy >= 1.4"), e("pandas", version="2.0")])),

@@ -83,6 +83,9 @@ def test_p027_strict_vs_p001_normalized(spark):
 def test_w015_empty_identifier(spark):
     rows = [
         ("blank", [], [], [e("   ")], [], []),
+        # value-key-absent entries are SKIPPED by the reference
+        # (w015.py:27 requires "value" in entry["result"]) — after a
+        # schema read that's a null value, which must abstain
         ("missing_value", [], [], [e(None)], [], []),
         ("ok", [], [], [e("doi:10.1234/x")], [], []),
         ("absent_category", [], [], [], [], []),
@@ -91,7 +94,7 @@ def test_w015_empty_identifier(spark):
     got = flags(df, M.w015_empty_identifier(F.col("identifier")))
     assert got == {
         "blank": True,
-        "missing_value": True,
+        "missing_value": False,
         "ok": False,
         "absent_category": False,  # F1: rule abstains when category absent
     }
