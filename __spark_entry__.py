@@ -894,9 +894,11 @@ SELECT doc_id,
                                       AND trim(e.value) != trim(list_filter(version,
                                           x -> contains(lower(x.source), 'codemeta.json'))[1].value))) > 0,
     FALSE) AS p027,
-  -- W015: codemeta identifier empty/blank
+  -- W015: codemeta identifier present-but-blank (null value = the entry
+  -- had no 'value' key -> abstain, w015.py:27)
   coalesce(len(identifier) > 0
-           AND (identifier[1].value IS NULL OR trim(identifier[1].value) = ''), FALSE) AS w015
+           AND identifier[1].value IS NOT NULL
+           AND trim(identifier[1].value) = '', FALSE) AS w015
 FROM built
 """
 
