@@ -910,14 +910,15 @@ def q_lang_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         _documents(spark, sf_dir)
         .groupBy("lang")
         .agg(
-            F.array_sort(F.collect_set("source")).alias("sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
             F.count_distinct("source").alias("n_sources"),
         )
     )
 
 
 _LANG_SOURCES_SQL = """
-SELECT lang, list_sort(list_distinct(list(source))) AS sources,
+SELECT lang,
+       list_aggregate(list_sort(list_distinct(list(source))), 'string_agg', ',') AS sources,
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
 """

@@ -1,78 +1,59 @@
-"""Parity regression vs the reference's own shipped corpus (PARITY.md):
-the nested battery's per-rule flagged-document counts must stay within the
-documented distance of the golden distribution. Skipped when the read-only
+"""Per-document parity vs the reference's OWN EXECUTED detectors over its
+shipped 899-doc SoMEF corpus (PARITY.md): every one of the 27 rules must
+agree on every document — exact flag equality, not count distance. The
+reference detectors run in-process (pure Python) with HTTP frozen to the
+fixtures url_status_map; a detector crash counts as not-fired, exactly as
+detect_pitfalls_main.py:335-337 treats it. Skipped when the read-only
 reference checkout is absent."""
 
 import os
+import sys
 
 import pytest
-from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 CORPUS = "/root/reference/src/metacheck/somef_outputs"
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(CORPUS), reason="reference corpus not present"
 )
 
-ENTRY = (
-    "struct<confidence:double, technique:string, source:string,"
-    " result:struct<type:string, value:string, name:string, tag:string,"
-    " version:string>>"
-)
-CATS = [
-    "version", "releases", "license", "authors", "identifier",
-    "code_repository", "date_updated", "requirements",
-    "programming_languages", "readme_url", "reference_publication",
-    "software_requirements", "issues_url", "download_url",
-    "development_status", "continuous_integration",
-]
-
-# golden counts from the shipped JSON-LD assessments (BASELINE.md), with the
-# allowed |ours - golden| distance. P008/P022/P023/P026 track the CURRENT
-# detector code where the goldens came from an older revision (PARITY.md
-# notes 1-2) — their bounds pin today's behavior instead.
-GOLDEN_TOL = {
-    "P001": (343, 4), "P002": (45, 0), "W003": (158, 2), "P005": (17, 2),
-    "P006": (2, 1), "P007": (7, 0), "P016": (15, 0), "P020": (168, 0),
-    "P024": (55, 3), "P027": (236, 2), "P028": (5, 0), "W010": (588, 5),
-    "W015": (61, 0), "W021": (11, 2), "W012": (17, 3),
+# the reference-execution counts at the frozen url_status_map — pinned so a
+# silent harness regression (e.g. corpus read dropping docs) is caught even
+# if both sides drift together
+EXPECTED_COUNTS = {
+    "P001": 344, "P002": 45, "W003": 159, "W004": 267, "P005": 17,
+    "P006": 1, "P007": 7, "P008": 9, "W010": 591, "P011": 0, "W012": 17,
+    "P013": 0, "W014": 90, "W015": 63, "P016": 15, "P017": 0, "P018": 0,
+    "P019": 21, "P020": 168, "W021": 11, "P022": 175, "P023": 6,
+    "P024": 55, "P025": 311, "P026": 176, "P027": 236, "P028": 5,
 }
-CURRENT_CODE_PIN = {"P008": (9, 3), "P022": (163, 5), "P023": (0, 2), "P026": (180, 8)}
 
 
 @pytest.fixture(scope="module")
-def corpus_hits(spark):
-    from metacheck_spark.fixtures.gen_images import url_status_map
-    from metacheck_spark.rules.somef import nested_rule_flags
-    from metacheck_spark.sources.readers import read_json_dir
+def flag_tables(spark):
+    sys.path.insert(0, TOOLS)
+    from ref_exec_parity import reference_flags, spark_flags
 
-    schema = StructType.fromDDL(", ".join(f"{c} array<{ENTRY}>" for c in CATS))
-    docs = read_json_dir(spark, CORPUS, schema, multiline=True)
-    flagged = nested_rule_flags(docs, url_status_map())
-    codes = list(GOLDEN_TOL) + list(CURRENT_CODE_PIN)
-    row = flagged.select(
-        [F.count(F.when(F.col(f"hit_{c}"), 1)).alias(c) for c in codes]
-        + [F.count(F.lit(1)).alias("_n")]
-    ).collect()[0]
-    return row.asDict()
+    ref = reference_flags()
+    ours = spark_flags()
+    return ref, ours
 
 
-def test_corpus_parses_fully(corpus_hits):
-    assert corpus_hits["_n"] >= 890  # 899 shipped docs (+1 duplicate name)
+def test_corpus_parses_fully(flag_tables):
+    ref, ours = flag_tables
+    assert len(ref) >= 890
+    assert set(ref) == set(ours)
 
 
-@pytest.mark.parametrize("code", sorted(GOLDEN_TOL))
-def test_golden_distribution(corpus_hits, code):
-    want, tol = GOLDEN_TOL[code]
-    assert abs(corpus_hits[code] - want) <= tol, (
-        f"{code}: {corpus_hits[code]} vs golden {want} (±{tol})"
-    )
-
-
-@pytest.mark.parametrize("code", sorted(CURRENT_CODE_PIN))
-def test_current_code_pins(corpus_hits, code):
-    want, tol = CURRENT_CODE_PIN[code]
-    assert abs(corpus_hits[code] - want) <= tol, (
-        f"{code}: {corpus_hits[code]} drifted from pinned {want} (±{tol})"
-    )
+@pytest.mark.parametrize("code", sorted(EXPECTED_COUNTS))
+def test_per_document_parity(flag_tables, code):
+    ref, ours = flag_tables
+    mismatched = [
+        name
+        for name in ref
+        if ref[name].get(code, False) != ours[name].get(code, False)
+    ]
+    assert mismatched == [], f"{code}: {len(mismatched)} docs disagree"
+    got = sum(1 for name in ref if ours[name].get(code, False))
+    assert got == EXPECTED_COUNTS[code], f"{code}: count {got} drifted"

@@ -76,10 +76,14 @@ CASES = [
      doc("t", programming_languages=[e("Python", name="Python")]),
      doc("n", programming_languages=[e("Python", name="Python", version="3.11")])),
     ("P011",
+     # codemeta declares a referencePublication, CITATION.cff exists in the
+     # repo (authors sourced from it) but carries no reference (p011.py)
      doc("t", reference_publication=[e("https://papers.org/p1")],
-         identifier=[e("mytool")]),
-     doc("n", reference_publication=[e("https://papers.org/p1")],
-         identifier=[e("10.1234/abc")])),
+         authors=[e("Alice", source="CITATION.cff")]),
+     doc("n", reference_publication=[
+             e("https://papers.org/p1"),
+             e("https://papers.org/p1", source="CITATION.cff")],
+         authors=[e("Alice", source="CITATION.cff")])),
     ("W012",
      doc("t", requirements=[e("Numpy Pandas")]),
      doc("n", requirements=[e("numpy")])),
@@ -96,15 +100,22 @@ CASES = [
      doc("t", code_repository=[e("https://www.photosite.com/gallery")]),
      doc("n", code_repository=[e("https://github.com/o/r")])),
     ("P017",
-     doc("t", license=[e("copyright 2020 fox studio")]),
-     doc("n", license=[e("copyright 2020, released under the MIT license")])),
+     # selection is the first LICENSE.md-sourced entry (p017.py:17-26)
+     doc("t", license=[e("YEAR: 2017\nCOPYRIGHT HOLDER: Adam H. Sparks",
+                         source="https://x/blob/main/LICENSE.md",
+                         technique="file_exploration")]),
+     doc("n", license=[e("copyright 2020, released under the MIT license",
+                         source="https://x/blob/main/LICENSE.md",
+                         technique="file_exploration")])),
     ("P018",
      doc("t", issues_url=[e("https://x.org/issues  ")]),
      doc("n", issues_url=[e("https://x.org/issues")])),
     ("P019",
-     doc("t", download_url=[e("https://x.org/releases/v2.0.0.zip")],
+     # /archive/ pattern (p019.py:14); extension-free so the greedy
+     # suffix quirk doesn't absorb '.zip' into the version
+     doc("t", download_url=[e("https://x.org/archive/v2.0.0")],
          releases=[e(tag="v3.0.0")]),
-     doc("n", download_url=[e("https://x.org/releases/v2.0.0.zip")],
+     doc("n", download_url=[e("https://x.org/archive/v2.0.0")],
          releases=[e(tag="v2.0.0")])),
     ("P020",
      doc("t", development_status=[e("https://www.repostatus.org/#active")]),
@@ -122,8 +133,10 @@ CASES = [
      doc("t", identifier=[e("doi:10.1234/abc")]),
      doc("n", identifier=[e("https://doi.org/10.1234/abc")])),
     ("P025",
-     doc("t", continuous_integration=[e("ci at https://moved.example.org/a")]),
-     doc("n", continuous_integration=[e("ci at https://ok.example.org/a")])),
+     # the WHOLE value is the CI URL (no extraction, p025.py:77-81); 301
+     # is inaccessible under P025's strict-2xx check (the quirk vs P013)
+     doc("t", continuous_integration=[e("https://moved.example.org/a")]),
+     doc("n", continuous_integration=[e("https://ok.example.org/a")])),
     ("P026",
      doc("t", code_repository=[
          e("https://github.com/o/other"),
