@@ -722,6 +722,43 @@ def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_docs_sql() -> str:
+    """DuckDB oracle for the lexicon langid scorer: per-language token
+    counts over unicode \\w+ tokens, argmax with first-language tie-break
+    (numpy argmax), conf = top/total, 'und' below CONF_THRESHOLD. Built
+    from the SAME LEXICONS constant the UDF uses, so the model and oracle
+    cannot drift."""
+    from metacheck_spark.functions.langid import CONF_THRESHOLD, LANGS, LEXICONS
+
+    n = len(LANGS)
+    count_exprs = ",\n    ".join(
+        "len(list_filter(ts, t -> list_contains(["
+        + ", ".join("'" + w + "'" for w in LEXICONS[lang])
+        + f"], t))) AS c{i}"
+        for i, lang in enumerate(LANGS)
+    )
+    cs = ", ".join(f"c{i}" for i in range(n))
+    total = " + ".join(f"c{i}" for i in range(n))
+    best = " ".join(
+        f"WHEN c{i} = top THEN '{lang}'" for i, lang in enumerate(LANGS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+') AS ts
+  FROM documents
+),
+c AS (SELECT doc_id,
+    {count_exprs}
+  FROM toks),
+s AS (SELECT doc_id, {cs}, {total} AS total, greatest({cs}) AS top FROM c)
+SELECT doc_id,
+  CASE WHEN total > 0 AND top::DOUBLE / total >= {CONF_THRESHOLD}
+       THEN (CASE {best} END) ELSE 'und' END AS lang,
+  round(CASE WHEN total > 0 THEN top::DOUBLE / total ELSE 0.0 END, 6) AS lang_conf
+FROM s
+"""
+
+
 def q_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metacheck_spark.pipeline import ppl_udf
 
@@ -743,6 +780,34 @@ def q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _documents(spark, sf_dir).select(
         "doc_id", scrub_udf(seeded).alias("scrubbed")
     )
+
+
+# DuckDB oracle for the scrub stage. The Python phone pattern's
+# (?<!\d)/(?!\d) lookarounds aren't RE2-expressible; they're emulated with
+# consuming boundary groups — exact on this corpus because the document
+# text is digit-free (only the seeded suffixes contain PII), so boundary
+# consumption can never swallow an adjacent match.
+_SCRUB_DOCS_SQL = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com'
+                      WHEN doc_id % 4 = 1 THEN ' call 555-123-4567'
+                      WHEN doc_id % 4 = 2 THEN ' oh frak'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t,
+        '[A-Za-z0-9_.+-]+@[A-Za-z0-9_-]+\.[A-Za-z0-9_.-]*[A-Za-z0-9_]',
+        '[EMAIL]', 'g'),
+      '(^|[^0-9])((\+?[0-9]{1,2}[ -])?(\([0-9]{3}\)|[0-9]{3})[ -][0-9]{3}[ -][0-9]{4})([^0-9]|$)',
+      '\1[PHONE]\5', 'g'),
+    '(?i)\b(frak|gorram|smeg|felgercarb|shazbot)\b', '[REDACTED]', 'g'
+  ) AS scrubbed
+FROM seeded
+"""
 
 
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,9 +1141,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
-        # minhash_pairs / simhash_pairs / lsh_topk: xxhash64 / FNV / LSH
-        # bucketing are not DuckDB-expressible -> rows-only driver check;
-        # recall+precision asserted against brute force in pytest.
+        # minhash LSH at threshold 0.8 on this corpus has recall 1.0
+        # (asserted vs brute force in tests/test_dedup_similarity.py), so
+        # its VERIFIED output — exact word-2gram Jaccard over candidate
+        # pairs — equals the brute-force pair set: the same SQL is a
+        # value oracle for it.
+        "minhash_pairs": _NGRAM_JACCARD_SQL,
+        # simhash_pairs / lsh_topk: FNV / sign-LSH bucketing are not
+        # DuckDB-expressible -> rows-only driver check; recall+precision
+        # asserted against brute force in pytest.
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_doc_stats": _LANG_DOC_STATS_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
@@ -1097,9 +1168,11 @@ def oracle_sql() -> dict[str, str]:
         "somef_nested": _SOMEF_NESTED_SQL,
         "lang_sources": _LANG_SOURCES_SQL,
         "length_percentiles": _LENGTH_PERCENTILES_SQL,
-        # langid_docs / ppl_docs / scrub_docs / image_pipeline /
-        # image_features: pandas-UDF model stages and binary decode are not
-        # SQL-expressible -> rows-only driver check; value parity vs the
-        # pure-Python oracle is asserted in pytest (tests/test_models.py,
+        "langid_docs": _langid_docs_sql(),
+        "scrub_docs": _SCRUB_DOCS_SQL,
+        # ppl_docs / image_pipeline / image_features: the KenLM-style
+        # log-prob table and binary decode are not SQL-expressible ->
+        # rows-only driver check; value parity vs the pure-Python oracle
+        # is asserted in pytest (tests/test_models.py,
         # tests/test_pipeline.py, tests/test_images_ops.py).
     }
