@@ -27,15 +27,18 @@ def normalized_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the source has
-    fewer partitions than cores — shingle/signature stages multiply work
-    ~100x per row, so an under-partitioned source serializes them. A
-    production-scale table already has >> cores partitions and skips this."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+def _fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Repartition to the cluster's parallelism — shingle/signature stages
+    multiply work ~100x per row, so an under-partitioned source serializes
+    them, and the repartitioned frame is a 2-column projection whose
+    shuffle is negligible next to that work. Pass num_partitions=0 to
+    skip (a production-scale table already has >> cores partitions), or a
+    positive count to override. No RDD partition probe: that breaks
+    under Spark Connect and forces plan conversion."""
+    if num_partitions == 0:
+        return df
+    target = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -197,25 +200,58 @@ def _bucket_pairs(ids: Column) -> Column:
 
 
 def bucketed_candidate_pairs(
-    banded: DataFrame, max_bucket: int = 1000
+    banded: DataFrame, max_bucket: int = 1000, observation=None
 ) -> DataFrame:
     """(id_a, id_b) candidates from a (id, band, band_sig) frame — the
-    canonical LSH shape: ONE shuffle (groupBy bucket) + in-bucket pair
+    canonical LSH shape: shuffle on the bucket key + in-bucket pair
     expansion, instead of a self-join that executes the upstream signature
-    plan twice. Buckets larger than max_bucket are dropped (a degenerate
-    band — e.g. every empty doc — would otherwise expand quadratically;
-    real near-dup clusters are small, and oversized buckets indicate the
-    banding parameters need retuning, not more pairs)."""
-    buckets = (
-        banded.groupBy("band", "band_sig")
+    plan twice.
+
+    Oversized buckets (> max_bucket ids — boilerplate text duplicated
+    millions of times is the common web-scale case) are NOT dropped and
+    NOT expanded quadratically: they emit STAR pairs (smallest id -> every
+    other id), which is O(bucket) rows, never materializes the bucket as
+    an array (the all-pairs path collect_lists ids, which would blow the
+    aggregation buffer on a 10^7-id bucket), and preserves cluster
+    connectivity — downstream verification (jaccard/hamming/cosine)
+    confirms each member against the hub, which is exactly what dedup
+    needs from a boilerplate cluster. Routing uses one window over the
+    bucket key; the small-bucket groupBy reuses the same exchange.
+
+    Pass a pyspark.sql.Observation as `observation` to collect routing
+    metrics (bucket count, max size, ids routed via star) with the action.
+    """
+    w = Window.partitionBy("band", "band_sig")
+    annotated = (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("id").over(w))
+        .filter(F.col("bsz") > 1)
+    )
+    if observation is not None:
+        annotated = annotated.observe(
+            observation,
+            # one row per bucket has id == hub (observe() forbids
+            # distinct aggregates, so count hubs instead)
+            F.sum(F.when(F.col("id") == F.col("hub"), 1).otherwise(0)).alias(
+                "n_buckets"
+            ),
+            F.max("bsz").alias("max_bucket_size"),
+            F.sum(F.when(F.col("bsz") > max_bucket, 1).otherwise(0)).alias(
+                "star_routed_ids"
+            ),
+        )
+    small = (
+        annotated.filter(F.col("bsz") <= max_bucket)
+        .groupBy("band", "band_sig")
         .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    return (
-        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
     )
+    star = (
+        annotated.filter((F.col("bsz") > max_bucket) & (F.col("id") != F.col("hub")))
+        .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return small.unionAll(star).distinct()
 
 
 def minhash_lsh_candidates(

@@ -86,6 +86,104 @@ def lsh_topk(
     )
 
 
+def signature_udf(planes: np.ndarray):
+    """Sign-LSH signature as a vectorized pandas UDF — one numpy matmul
+    per Arrow batch against the (closure-small) plane matrix. The native
+    `signature_col` expression inlines bits x dim literal arrays into the
+    plan, which blows up codegen beyond ~8 bits; this path scales to 63
+    bits with constant plan size. Bit b set iff dot(vec, plane_b) > 0 —
+    identical semantics to signature_col (asserted in tests)."""
+    if len(planes) > 63:
+        raise ValueError("signature_udf supports at most 63 bits (long)")
+    P = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def _sig(s: pd.Series) -> pd.Series:
+        x = np.array([list(v) for v in s], dtype=np.float64)
+        if x.size == 0:
+            return pd.Series(np.zeros(len(s), dtype=np.int64), index=s.index)
+        bits = (x @ P.T) > 0
+        weights = 1 << np.arange(P.shape[0], dtype=np.uint64)
+        sig = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64), index=s.index)
+
+    return _sig
+
+
+def signature(vec_col: str, planes: np.ndarray):
+    """Signature column, picking the native expression for <= 8 bits and
+    the Arrow-batched UDF beyond (the expression inlines bits x dim
+    literals; fine small, quadratic plan text at high bits)."""
+    if len(planes) <= 8:
+        return signature_col(vec_col, planes)
+    return signature_udf(planes)(F.col(vec_col))
+
+
+def embedding_dup_pairs_bucketed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: sign-LSH banding for candidate
+    generation (pairs sharing ANY band of the signature — multi-band
+    boosts recall for pairs straddling a single hyperplane), exact cosine
+    verification. Reuses the LSH bucket-join machinery of
+    operators/dedup.py — one narrow shuffle per band, never O(n^2).
+    Exact duplicates always share every band, so recall on true copies
+    is 1.0 by construction."""
+    from metacheck_spark.operators.dedup import bucketed_candidate_pairs
+
+    assert bits % bands == 0, "bits must divide into equal bands"
+    if dim is None:
+        head = df.select(F.size(vec_col)).limit(1).collect()
+        if not head:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()},"
+                    f" id_b {df.schema[id_col].dataType.simpleString()}, cos double"
+            )
+        dim = head[0][0]
+    planes = hyperplanes(dim, bits, seed)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig = v.withColumn("sig", signature("v", planes)).persist()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "bv.band", "bv.band_sig")
+    cands = bucketed_candidate_pairs(banded, max_bucket=max_bucket)
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # --- IVF (inverted-file) index: kmeans-lite coarse quantizer ----------------
 
 

@@ -128,3 +128,77 @@ def test_word_ngrams_and_jaccard_columns(spark):
         .head()["j"]
     )
     assert abs(j - 1 / 3) < 1e-12
+
+
+def test_oversized_bucket_star_routing(spark):
+    """A bucket larger than max_bucket (the boilerplate-duplication case)
+    must still yield pairs connecting the whole cluster — via O(bucket)
+    star pairs around the smallest id — plus routing metrics."""
+    from pyspark.sql import Observation
+
+    rows = [(i, 0, 7) for i in range(20)] + [(100 + i, 1, 9) for i in range(3)]
+    banded = spark.createDataFrame(rows, "id long, band int, band_sig long")
+    obs = Observation("lsh")
+    pairs = D.bucketed_candidate_pairs(banded, max_bucket=10, observation=obs)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # oversized bucket (20 ids): star around id 0
+    assert {(0, i) for i in range(1, 20)} <= got
+    assert not any(a != 0 for (a, b) in got if b < 100)  # star, not all-pairs
+    # normal bucket (3 ids): full pair expansion
+    assert {(100, 101), (100, 102), (101, 102)} <= got
+    m = obs.get
+    assert m["n_buckets"] == 2
+    assert m["max_bucket_size"] == 20
+    assert m["star_routed_ids"] == 20
+
+
+def test_signature_udf_matches_native_expr(spark):
+    """The Arrow-batched sign-LSH signature (bits>8 path) must agree
+    bit-for-bit with the native expression at bits<=8."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    dim = len(emb.head()["embedding"])
+    planes = S.hyperplanes(dim, bits=8)
+    both = emb.select(
+        "vec_id",
+        S.signature_col("embedding", planes).alias("native"),
+        S.signature_udf(planes)(F.col("embedding")).alias("udf"),
+    ).collect()
+    assert all(r["native"] == r["udf"] for r in both)
+
+
+def test_embedding_dup_bucketed_no_cross_join(spark):
+    """The bucketed embedding near-dup must find all seeded copies with
+    NO cartesian/nested-loop join in the physical plan, at bits=16 (the
+    UDF signature path)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = emb.unionAll(copies)
+    pairs = S.embedding_dup_pairs_bucketed(
+        df, "embedding", "vec_id", threshold=0.9, bits=16, bands=4
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    assert want <= got
+
+
+def test_no_rdd_access_in_package():
+    """Spark-Connect safety: no DataFrame.rdd probes anywhere."""
+    import pathlib
+
+    pkg = pathlib.Path(D.__file__).resolve().parent.parent
+    offenders = [
+        p
+        for p in pkg.rglob("*.py")
+        if ".rdd" in p.read_text()
+    ]
+    assert offenders == [], f".rdd access in {offenders}"
