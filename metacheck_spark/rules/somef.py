@@ -38,7 +38,15 @@ CORPUS_CATEGORIES = [
     "programming_languages", "readme_url", "reference_publication",
     "software_requirements", "issues_url", "download_url",
     "development_status", "continuous_integration", "title", "description",
+    "full_name",
 ]
+
+# DDL of one SoMEF entry under the fixed read schema
+ENTRY_DDL = (
+    "struct<confidence:double, technique:string, source:string,"
+    " result:struct<type:string, value:string, name:string, tag:string,"
+    " version:string>>"
+)
 
 # Target language set + aliases (pitfall_utils.py:5-38, target set :10).
 TARGET_LANGUAGES = ["Python", "Java", "C++", "C", "R", "Rust"]
@@ -874,26 +882,52 @@ _P008_FILE_NAMES = [
 ]
 
 
+def p008_is_local(v: Column) -> Column:
+    """p008.py:5-38: http(s) exempt; ./ or ../ prefix, any slash or
+    backslash, a known license filename, or a .md/.txt/.rst suffix."""
+    low = F.lower(F.trim(v))
+    not_http = ~low.startswith("http://") & ~low.startswith("https://")
+    rel = v.startswith("./") | v.startswith("../")
+    slash = v.contains("/") | v.contains("\\")
+    named = low.isin(_P008_FILE_NAMES)
+    ext = low.endswith(".md") | low.endswith(".txt") | low.endswith(".rst")
+    return v.isNotNull() & not_http & (rel | slash | named | ext)
+
+
 def p008_local_license(license_cat: Column) -> Column:
     """ANY license entry from code_parser OR a metadata source whose value
-    is a local file reference instead of a license name (p008.py:5-38:
-    http(s) exempt; ./ or ../ prefix, any slash/backslash, a known license
-    filename, or a .md/.txt/.rst suffix fires; :63-77 entry loop — note
-    the OR between technique and source, unlike p005/p022's AND)."""
-
-    def is_local(v: Column) -> Column:
-        low = F.lower(F.trim(v))
-        not_http = ~low.startswith("http://") & ~low.startswith("https://")
-        rel = v.startswith("./") | v.startswith("../")
-        slash = v.contains("/") | v.contains("\\")
-        named = low.isin(_P008_FILE_NAMES)
-        ext = low.endswith(".md") | low.endswith(".txt") | low.endswith(".rst")
-        return v.isNotNull() & not_http & (rel | slash | named | ext)
-
+    is a local file reference instead of a license name (p008.py:63-77
+    entry loop — note the OR between technique and source, unlike
+    p005/p022's AND)."""
     return F.exists(
         license_cat,
         lambda e: ((e["technique"] == "code_parser") | _source_is_metadata(e))
-        & is_local(e["result"]["value"]),
+        & p008_is_local(e["result"]["value"]),
+    )
+
+
+_W004_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    "yyyy-MM-dd",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+]
+
+
+def w004_parse_date(raw: Column) -> Column:
+    """normalize_date_for_comparison, w004.py:57-93: the 5 strptime
+    formats (fraction variants folded in) plus the date-prefix regex
+    fallback, so any value starting YYYY-MM-DD parses."""
+    t = F.trim(raw)
+    return F.coalesce(
+        *[F.try_to_timestamp(t, F.lit(f)) for f in _W004_FORMATS],
+        F.try_to_timestamp(
+            F.nullif(F.regexp_extract(t, r"^(\d{4}-\d{2}-\d{2})", 1), F.lit("")),
+            F.lit("yyyy-MM-dd"),
+        ),
     )
 
 
@@ -930,29 +964,7 @@ def w004_stale_vs_codemeta(date_updated_cat: Column) -> Column:
         )
     )["result"]["value"]
 
-    _FORMATS = [
-        "yyyy-MM-dd'T'HH:mm:ss'Z'",
-        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
-        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
-        "yyyy-MM-dd",
-        "yyyy-MM-dd'T'HH:mm:ss",
-        "yyyy-MM-dd'T'HH:mm:ss.SSS",
-        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-    ]
-
-    def parse(raw: Column) -> Column:
-        t = F.trim(raw)
-        return F.coalesce(
-            *[F.try_to_timestamp(t, F.lit(f)) for f in _FORMATS],
-            F.try_to_timestamp(
-                F.nullif(
-                    F.regexp_extract(t, r"^(\d{4}-\d{2}-\d{2})", 1), F.lit("")
-                ),
-                F.lit("yyyy-MM-dd"),
-            ),
-        )
-
-    upd, mod = parse(api_raw), parse(cm_raw)
+    upd, mod = w004_parse_date(api_raw), w004_parse_date(cm_raw)
     day_diff = F.floor(
         (F.unix_timestamp(upd) - F.unix_timestamp(mod)) / F.lit(86400)
     )

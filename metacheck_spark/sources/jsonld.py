@@ -1,0 +1,901 @@
+"""Reference-shaped JSON-LD assessment documents over the nested SoMEF
+schema — the S5 sink at full fidelity: the complete document shell
+(@context / creator / assessedSoftware / license set-typo and all,
+json_ld_utils.py:462-508), per-check `process` descriptions
+(json_ld_utils.py:54-88), `evidence` templates (:141-315) and
+`suggestion` texts (:402-436), assembled natively with to_json(struct)
+— no driver-side loop, one projection per document.
+
+Parity: tools/ref_jsonld_parity.py executes the reference's own
+create_pitfall_jsonld over the shipped corpus and deep-compares every
+generated document (modulo dateCreated, which the reference stamps with
+utcnow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metacheck_spark.rules import somef as M
+
+# --- literal tables (json_ld_utils.py:54-88, :313-354, :402-436) ------------
+
+DESCRIPTIONS = {
+    "P001": "The metadata file (codemeta or other) has a version which does not correspond to the version used in the latest release",
+    "P002": "LICENSE file contains template placeholders like <program>, <year>, <name of author> that were not replaced",
+    "W003": "The metadata file (codemeta or other) Software requirements don't have version specifications",
+    "W004": "codemeta.json dateModified is outdated compared to the actual repository last update date",
+    "P005": "The metadata file (codemeta or other) have multiple authors in single field instead of a list",
+    "P006": "In codemeta.json README property pointing to their homepage/wiki instead of README file",
+    "P007": "codemeta.json referencePublication refers to software archive instead of paper",
+    "P008": "The metadata file (codemeta or other) has License pointing to a local file instead of stating the name",
+    "W010": "Programming languages in codemeta.json do not have versions",
+    "P011": "CITATION.cff does not have referencePublication even though it's referenced in codemeta.json",
+    "W012": "The metadata file (codemeta or other) softwareRequirements have more than one req, but it's written as one string",
+    "P013": "The metadata file (codemeta or other) softwareRequirement points to an invalid page",
+    "W014": "codemeta.json Identifier is a name instead of a valid unique identifier, but an identifier exist",
+    "W015": "codemeta.json Identifier is empty",
+    "P016": "The metadata file (codemeta or other) coderepository points to their homepage",
+    "P017": "LICENSE file only contains copyright information without actual license terms",
+    "P018": "codemeta.json IssueTracker violates the expected URL format",
+    "P019": "codemeta.json downloadURL is outdated",
+    "P020": "codemeta.json developmentStatus is a URL instead of a string",
+    "W021": "The metadata file (codemeta or other) GivenName is a list instead of a string",
+    "P022": "The metadata file (codemeta or other) License does not have the specific version",
+    "P023": "The metadata file (codemeta or other) codeRepository uses Git remote-style shorthand instead of full URL",
+    "P024": "codemeta.json uses bare DOIs in the identifier field instead of full https://doi.org/ URL",
+    "P025": "In codemeta.json contIntegration link returns 404",
+    "P026": "The metadata file (codemeta or other) codeRepository does not point to the same repository",
+    "P027": "codemeta.json version does not match the package's",
+    "P028": "codemeta.json Identifier uses raw SWHIDs without their resolvable URL",
+}
+
+CATEGORIES = {
+    "P001": "metadatafile", "P002": "license", "W003": "metadatafile",
+    "W004": "codemeta", "P005": "metadatafile", "P006": "codemeta",
+    "P007": "codemeta", "P008": "metadatafile", "W010": "codemeta",
+    "P011": "codemeta", "W012": "metadatafile", "P013": "metadatafile",
+    "W014": "codemeta", "W015": "codemeta", "P016": "metadatafile",
+    "P017": "license", "P018": "codemeta", "P019": "codemeta",
+    "P020": "codemeta", "W021": "metadatafile", "P022": "metadatafile",
+    "P023": "metadatafile", "P024": "codemeta", "P025": "codemeta",
+    "P026": "metadatafile", "P027": "codemeta", "P028": "codemeta",
+}
+
+SUGGESTIONS = {
+    "P001": "Ensure the version in your metadata matches the latest official release. Keeping these synchronized avoids confusion for users and improves reproducibility.",
+    "P002": "Update the copyright section with accurate names, organizations, and the current year. Personalizing this section ensures clarity and legal accuracy.",
+    "W003": "Add version numbers to your dependencies. This provides stability for users and allows reproducibility across different environments.",
+    "W004": "You need to align the version in your metadata file with your latest release tag. Automating this synchronization as part of your release process is highly recommended.",
+    "P005": "You should separate multiple authors into a structured list. This allows tools and citation systems to correctly identify and credit each contributor.",
+    "P006": "Update the README property so it points directly to your actual README file instead of your homepage. This helps ensure users and automated tools can access your project documentation easily.",
+    "P007": "Standardize your version format across files using semantic versioning (for example, 1.2.0) or any standardized versioning scheme. Consistent versioning reduces confusion for users and systems.",
+    "P008": "You need to replace local file paths with recognized SPDX license identifiers, such as MIT or GPL-3.0-only in URL form. This ensures your license can be correctly detected by automated tools.",
+    "W010": "List all applicable licenses if your repository includes more than one. This avoids confusion about terms of use and ensures full transparency.",
+    "P011": "Include version numbers for each programming language used. Defining these helps ensure reproducibility and compatibility across systems.",
+    "W012": "Add a referencePublication field with the related DOI or citation entry to your CITATION.cff. This will help link your work to its scholarly references.",
+    "P013": "Rewrite your dependencies as a proper list, with each item separated and preferably with their versions. This makes them easier to parse for metadata systems.",
+    "W014": "Verify and update any dependency links to ensure they lead to valid and accessible pages.",
+    "W015": "You should replace plain name in your identifier field with persistent identifiers, such as DOIs or SWHIDs, to improve discoverability and interoperability.",
+    "P016": "You need to update the codeRepository field to point directly to your repository's source code instead of a homepage. Accurate links improve traceability and user access.",
+    "P017": "You need to include the complete text of a recognized license such as MIT, Apache 2.0, or GPL. A full license clarifies rights and usage conditions for others",
+    "P018": "You need to correct the issue tracker URL so it follows a valid format, such as https://github.com/user/repo/issues. Proper links help users engage with your development process.",
+    "P019": "You need to update the downloadURL field to point to your latest release or current distribution source. Outdated links can mislead users or cause failed installations.",
+    "P020": "You need to replace URLs in the developmentStatus field with descriptive text values, such as 'active', 'beta', or 'stable'. This maintains schema compliance and clarity.",
+    "W021": "Ensure givenName is a single string per person. This ensures that every author is properly credited and can be extracted automatically ",
+    "P022": "You should declare the specific version of the license using a recognized SPDX identifier. For example, use 'GPL-3.0-only' or 'GPL-2.0-or-later' instead of simply 'GPL'",
+    "P023": "You should replace the remote-style syntax with a full web-accessible URL (e.g., https://github.com/user/repo).",
+    "P024": "You should include the full DOI URL form in your metadata (e.g., https://doi.org/XX.XXXX/zenodo.XXXX)",
+    "P025": "You need to update the outdated URLs to point to the current CI platform, or remove the property if no active CI is in place. A good pratcie would be to periodically test all external links, especially those related to CI or build status.",
+    "P026": "Make sure that the codeRepository URL in your metadata exactly matches the repository hosting your source code.",
+    "P027": "You need to synchronize all version references across metadata and build configuration files.",
+    "P028": "Always use the full resolvable SWHID URL (e.g., https://archive.softwareheritage.org/swh:1:dir:abcd.../). This will ensures that both humans and machines can access the archived software snapshot directly",
+}
+
+# detect_pitfalls_main.py:262-289 order — checks appear in this order
+CODES = [
+    "P001", "P002", "W003", "W004", "P005", "P006", "P007", "P008", "W010",
+    "P011", "W012", "P013", "W014", "W015", "P016", "P017", "P018", "P019",
+    "P020", "W021", "P022", "P023", "P024", "P025", "P026", "P027", "P028",
+]
+
+_META_EXTS = [".json", ".xml", ".yml", ".toml", ".txt"]
+
+
+def metadata_source_filename(src: Column) -> Column:
+    """extract_metadata_source_filename, pitfall_utils.py:73-96 /
+    json_ld_utils.py:107-138: case-sensitive known-filename contains,
+    then a path-basename fallback gated on known metadata extensions,
+    else 'metadata files'."""
+    known = [
+        F.when(src.contains(f), F.lit(f)) for f in M._METADATA_FILES_CS
+    ]
+    base = F.element_at(F.split(src, r"[/\\]"), -1)
+    ext_ok = F.lit(False)
+    for ext in _META_EXTS:
+        ext_ok = ext_ok | F.lower(base).contains(ext)
+    fallback = F.when(
+        (src.contains("/") | src.contains("\\"))
+        & (base.isin(M._METADATA_FILES_CS) | ext_ok),
+        base,
+    )
+    return F.when(
+        src.isNull() | (src == ""), F.lit("metadata files")
+    ).otherwise(F.coalesce(*known, fallback, F.lit("metadata files")))
+
+
+def _q(v: Column) -> Column:
+    """'{v}' with the reference's `or 'unknown'` falsy fallback."""
+    return F.when(v.isNull() | (v == ""), F.lit("unknown")).otherwise(v)
+
+
+def _pyrepr(v: Column) -> Column:
+    """How the reference's f-string renders the raw value: a Python list
+    of strings interpolates as its repr (['a', 'b']); our schema carries
+    it as the stringified source JSON, so parse and re-render. Plain
+    strings pass through."""
+    t = F.trim(v)
+    arr = F.from_json(v, "array<string>")
+    return (
+        F.when(
+            M._is_stringified_array(t) & arr.isNotNull() & (F.size(arr) == 0),
+            F.lit("[]"),
+        )
+        .when(
+            M._is_stringified_array(t) & arr.isNotNull(),
+            F.concat(F.lit("['"), F.array_join(arr, "', '"), F.lit("']")),
+        )
+        .otherwise(v)
+    )
+
+
+def _iso(ts: Column) -> Column:
+    """datetime.isoformat(): microseconds rendered as .%06d only when
+    nonzero (w004 evidence dates)."""
+    micros = F.unix_micros(ts) % 1000000
+    return F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(micros != 0, F.format_string(".%06d", micros)).otherwise(F.lit("")),
+    )
+
+
+def _first_firing(entries: Column, fires) -> Column:
+    return M.first_match(F.filter(entries, fires))
+
+
+def _last_firing(entries: Column, fires) -> Column:
+    hits = F.filter(entries, fires)
+    return F.when(F.size(hits) > 0, F.try_element_at(hits, F.size(hits)))
+
+
+def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, Column]:
+    """code -> evidence string Column (meaningful only where the rule
+    fired). Each reproduces format_evidence_text's branch for that code
+    (json_ld_utils.py:141-315), selecting the same firing entry the
+    detector stored its payload from."""
+    ev: dict[str, Column] = {}
+
+    def base(code: str) -> Column:
+        return F.lit(f"{code} detected: ")
+
+    cols = F.col
+
+    # P001 — normalized versions + metadata_source_file (p001.py:88-99)
+    meta_sel = _first_firing(
+        cols("version"),
+        lambda e: M._source_is_metadata_cs(e) & e["result"]["value"].isNotNull(),
+    )
+    mv = M.normalize_version(meta_sel["result"]["value"])
+    rv = M.normalize_version(
+        F.try_element_at(cols("releases"), F.lit(1))["result"]["tag"]
+    )
+    ev["P001"] = F.concat(
+        base("P001"),
+        metadata_source_filename(meta_sel["source"]),
+        F.lit(" version '"), _q(mv),
+        F.lit("' does not match release version '"), _q(rv), F.lit("'"),
+    )
+
+    ev["P002"] = F.concat(
+        base("P002"), F.lit(" License file contains unreplaced template placeholders")
+    )
+
+    # W003 — the single selected requirement's name-else-value (w003.py:78)
+    w003_sel = _first_firing(
+        cols("requirements"),
+        lambda e: e["source"].isNotNull() & M._source_is_metadata_cs(e),
+    )
+    # w003 label: req.get("name", req.get("value", "unknown")) — SoMEF
+    # requirement results virtually always CARRY a name key (often null),
+    # and a present-null name renders the fallback text (the None is
+    # filtered, json_ld_utils.py:164); so name-null => fallback, NOT value
+    req_label = w003_sel["result"]["name"]
+    ev["W003"] = F.when(
+        req_label.isNotNull(),
+        F.concat(
+            base("W003"), metadata_source_filename(w003_sel["source"]),
+            F.lit(" contains software requirements without versions: "),
+            req_label,
+        ),
+    ).otherwise(
+        F.concat(
+            base("W003"),
+            F.lit("Software requirements found without version specifications"),
+        )
+    )
+
+    # W004 — parsed isoformat dates (w004 evidence, json_ld_utils.py:172-176)
+    api_raw = M.first_match(
+        F.filter(
+            cols("date_updated"),
+            lambda e: (e["technique"] == "GitHub_API")
+            & e["result"]["value"].isNotNull(),
+        )
+    )["result"]["value"]
+    cm_raw = M.first_match(
+        F.filter(
+            cols("date_updated"),
+            lambda e: (
+                (e["source"].isNotNull() & e["source"].contains("codemeta.json"))
+                | (e["source"].isNull() & (e["technique"] == "code_parser"))
+            )
+            & e["result"]["value"].isNotNull(),
+        )
+    )["result"]["value"]
+    ev["W004"] = F.concat(
+        base("W004"), F.lit("codemeta.json dateModified '"),
+        _iso(M.w004_parse_date(cm_raw)),
+        F.lit("' is outdated compared to repository date '"),
+        _iso(M.w004_parse_date(api_raw)), F.lit("'"),
+    )
+
+    # P005 — the firing author value (scalar; dict -> $.name)
+    p005_sel = _first_firing(
+        M.metadata_entries(cols("authors")),
+        lambda e: F.coalesce(M.scalar_value(e), F.lit("")).rlike(
+            M._P005_SEPARATORS
+        ),
+    )
+    ev["P005"] = F.concat(
+        base("P005"), metadata_source_filename(p005_sel["source"]),
+        F.lit(" Multiple authors found in single field: '"),
+        _q(M.scalar_value(p005_sel)), F.lit("'"),
+    )
+
+    p006_sel = _first_firing(
+        F.filter(
+            cols("readme_url"),
+            lambda e: (e["technique"] == "code_parser")
+            & F.coalesce(e["source"], F.lit("")).contains("codemeta.json"),
+        ),
+        lambda e: M.p006_is_homepage_url(M.string_value(e)),
+    )
+    ev["P006"] = F.concat(
+        base("P006"),
+        F.lit(" codemeta.json README property points to homepage/wiki instead of README file: "),
+        F.coalesce(M.string_value(p006_sel), F.lit("unknown URL")),
+    )
+
+    p007_sel = _first_firing(
+        M.codemeta_or_entries(cols("reference_publication")),
+        lambda e: M.p007_is_software_archive_url(M.string_value(e)),
+    )
+    ev["P007"] = F.concat(
+        base("P007"),
+        F.lit("codemeta.json Reference publication points to software archive instead of paper: "),
+        F.coalesce(M.string_value(p007_sel), F.lit("unknown URL")),
+    )
+
+    p008_sel = _first_firing(
+        F.filter(
+            cols("license"),
+            lambda e: (e["technique"] == "code_parser") | M._source_is_metadata(e),
+        ),
+        lambda e: M.p008_is_local(e["result"]["value"]),
+    )
+    ev["P008"] = F.concat(
+        base("P008"), metadata_source_filename(p008_sel["source"]),
+        F.lit(" License points to local file instead of license name: '"),
+        _q(p008_sel["result"]["value"]), F.lit("'"),
+    )
+
+    # W010 — every null-version codemeta language name (w010.py:32-34)
+    w010_names = F.transform(
+        F.filter(
+            cols("programming_languages"),
+            lambda e: (e["technique"] == "code_parser")
+            & F.coalesce(e["source"], F.lit("")).contains("codemeta.json")
+            & e["result"]["version"].isNull(),
+        ),
+        lambda e: F.coalesce(e["result"]["name"], F.lit("Unknown")),
+    )
+    ev["W010"] = F.when(
+        F.size(w010_names) > 0,
+        F.concat(
+            base("W010"),
+            F.lit("codemeta.json Programming languages without versions: "),
+            F.array_join(w010_names, ", "),
+        ),
+    ).otherwise(
+        F.concat(
+            base("W010"),
+            F.lit(" codemeta.json Programming languages in metadata do not have version specifications"),
+        )
+    )
+
+    ev["P011"] = F.concat(
+        base("P011"),
+        F.lit("CITATION.cff file exists but does not contain referencePublication while codemeta.json references it"),
+    )
+
+    # W012 — the evidence template reads 'requirements_string' but the
+    # detector stores 'requirement_string' (w012.py:78), so the DEFAULT
+    # fallback always renders (json_ld_utils.py:313-315)
+    ev["W012"] = F.concat(
+        base("W012"), F.lit("Issue detected in "), cols("_file")
+    )
+
+    # P013 — invalid URLs of the firing entry, first 3 (json_ld_utils:219-235)
+    if url_status_map:
+        status_map = F.create_map(
+            *[F.lit(x) for u, c in url_status_map.items() for x in (u, c)]
+        )
+
+        def _urls(e: Column) -> Column:
+            text = F.coalesce(e["result"]["value"], F.lit(""))
+            u1 = F.regexp_extract_all(text, F.lit(r"(?i)(https?://[^\s<>\"']+)"), 0)
+            u2 = F.regexp_extract_all(text, F.lit(r"(?i)(www\.[^\s<>\"']+)"), 0)
+            return F.transform(
+                F.concat(u1, u2), lambda u: F.regexp_replace(u, r"[,;.!?)]$", "")
+            )
+
+        def _inaccessible(u: Column) -> Column:
+            valid = u.rlike(r"^(?i)https?://[^/\s]+")
+            s = status_map[F.trim(u)]
+            ok = ((s >= 200) & (s < 300)) | (s == 301)
+            return ~(valid & s.isNotNull() & ok)
+
+        p013_sel = _first_firing(
+            M.metadata_entries(cols("software_requirements")),
+            lambda e: (F.size(_urls(e)) > 0) & F.exists(_urls(e), _inaccessible),
+        )
+        bad = F.filter(_urls(p013_sel), _inaccessible)
+        ev["P013"] = F.concat(
+            base("P013"), metadata_source_filename(p013_sel["source"]),
+            F.lit(" Software requirements contain invalid URLs: "),
+            F.array_join(F.slice(bad, 1, 3), ", "),
+            F.when(F.size(bad) > 3, F.lit("...")).otherwise(F.lit("")),
+        )
+
+        # P025 — status of the firing CI url (json_ld_utils:295-299)
+        def _ci_status(e: Column) -> Column:
+            u = e["result"]["value"]
+            s = status_map[F.trim(u)]
+            return F.when(
+                u.rlike(r"^(?i)https?://[^/\s]+") & s.isNotNull() & (s >= 0),
+                s.cast("string"),
+            ).otherwise(F.lit("unknown"))
+
+        p025_sel = _first_firing(
+            M.codemeta_or_entries(cols("continuous_integration")),
+            lambda e: e["result"]["value"].isNotNull()
+            & ~(
+                e["result"]["value"].rlike(r"^(?i)https?://[^/\s]+")
+                & status_map[F.trim(e["result"]["value"])].isNotNull()
+                & (status_map[F.trim(e["result"]["value"])] >= 200)
+                & (status_map[F.trim(e["result"]["value"])] < 300)
+            ),
+        )
+        ev["P025"] = F.concat(
+            base("P025"),
+            F.lit("codemeta.json Continuous integration URL returns "),
+            _ci_status(p025_sel), F.lit(": "),
+            F.when(
+                F.trim(F.coalesce(p025_sel["result"]["value"], F.lit(""))).isin(
+                    "", "[]", "{}"
+                ),
+                F.lit("unknown URL"),
+            ).otherwise(_pyrepr(p025_sel["result"]["value"])),
+        )
+    else:
+        ev["P013"] = F.concat(
+            base("P013"), F.lit("Software requirements contain invalid URLs")
+        )
+        ev["P025"] = F.concat(base("P025"), F.lit("Issue detected in "), cols("_file"))
+
+    w014_cm = M.first_match(
+        F.filter(
+            cols("identifier"),
+            lambda e: (e["technique"] == "code_parser")
+            & F.lower(F.coalesce(e["source"], F.lit(""))).contains("codemeta.json")
+            & e["result"]["value"].isNotNull(),
+        )
+    )["result"]["value"]
+    ev["W014"] = F.concat(
+        base("W014"),
+        F.lit("codemeta.json Identifier is a name instead of valid unique identifier: '"),
+        _q(_pyrepr(w014_cm)), F.lit("'"),
+    )
+
+    ev["W015"] = F.concat(
+        base("W015"), F.lit("codemeta.json identifier field is empty or missing")
+    )
+
+    p016_sel = _first_firing(
+        F.filter(
+            cols("code_repository"),
+            lambda e: M._technique_is_filename(e) | M._source_is_metadata_nodesc(e),
+        ),
+        lambda e: M._is_structured(e)
+        | (
+            ~M._contains_any(
+                F.lower(F.coalesce(M.string_value(e), F.lit(""))),
+                M._P016_REPO_INDICATORS,
+            )
+            & M._contains_any(
+                F.lower(F.coalesce(M.string_value(e), F.lit(""))),
+                M._P016_HOME_INDICATORS,
+            )
+        ),
+    )
+    ev["P016"] = F.concat(
+        base("P016"), metadata_source_filename(p016_sel["source"]),
+        F.lit(" codeRepository points to homepage instead of repository: "),
+        F.coalesce(M.string_value(p016_sel), F.lit("unknown URL")),
+    )
+
+    ev["P017"] = F.concat(
+        base("P017"),
+        F.lit("LICENSE file only contains copyright information without actual license terms"),
+    )
+
+    p018_sel = _first_firing(
+        M.codemeta_or_entries(cols("issues_url")),
+        lambda e: M.p018_has_format_violation(M.string_value(e)),
+    )
+    ev["P018"] = F.concat(
+        base("P018"),
+        F.lit("codemeta.json IssueTracker URL violates expected format: "),
+        F.coalesce(M.string_value(p018_sel), F.lit("unknown URL")),
+    )
+
+    p019_sel = M.first_match(
+        F.filter(
+            cols("download_url"),
+            lambda e: (
+                F.coalesce(e["source"], F.lit("")).contains("codemeta.json")
+                | (
+                    (e["technique"] == "code_parser")
+                    & F.lower(F.coalesce(e["source"], F.lit(""))).contains("codemeta")
+                )
+            )
+            & e["result"]["value"].isNotNull(),
+        )
+    )
+    ev["P019"] = F.concat(
+        base("P019"), F.lit("codemeta.json downloadURL is outdated or invalid: "),
+        F.coalesce(p019_sel["result"]["value"], F.lit("unknown URL")),
+    )
+
+    p020_sel = _first_firing(
+        M.codemeta_or_entries(cols("development_status")),
+        lambda e: M.p020_is_url(M.string_value(e)),
+    )
+    ev["P020"] = F.concat(
+        base("P020"),
+        F.lit("codemeta.json developmentStatus is a URL instead of status string: "),
+        _q(M.string_value(p020_sel)),
+    )
+
+    # w021's entry loop never breaks, so the LAST firing entry's payload
+    # survives (w021.py:29-54)
+    w021_sel = _last_firing(
+        F.filter(
+            cols("authors"),
+            lambda e: (e["technique"] == "code_parser") & M._source_is_metadata_cs(e),
+        ),
+        lambda e: F.coalesce(M.string_value(e), F.lit("")).rlike(
+            r"\[[^\]\n]*,[^\]\n]*\]"
+        ),
+    )
+    ev["W021"] = F.concat(
+        base("W021"), metadata_source_filename(w021_sel["source"]),
+        F.lit(" GivenName is a list instead of string: "),
+        _q(M.string_value(w021_sel)),
+    )
+
+    def _p022_fires(e: Column) -> Column:
+        up = F.upper(F.coalesce(M.string_value(e), F.lit("")))
+        cond = F.lit(False)
+        for fam, pat in M._P022_FAMILIES_FULL:
+            hit = up.contains(fam)
+            if pat is not None:
+                hit = hit & ~up.rlike(pat)
+            cond = cond | hit
+        return cond
+
+    # p022's entry loop never breaks either — LAST firing entry wins
+    # (p022.py:37-61)
+    p022_sel = _last_firing(
+        F.filter(
+            cols("license"),
+            lambda e: (e["technique"] == "code_parser") & M._source_is_metadata_cs(e),
+        ),
+        _p022_fires,
+    )
+    ev["P022"] = F.concat(
+        base("P022"), metadata_source_filename(p022_sel["source"]),
+        F.lit(" License does not specify version: '"),
+        _q(M.string_value(p022_sel)), F.lit("'"),
+    )
+
+    p023_sel = _first_firing(
+        M.metadata_or_entries(cols("code_repository")),
+        lambda e: M.p023_is_git_remote_shorthand(M.string_value(e)),
+    )
+    ev["P023"] = F.concat(
+        base("P023"), metadata_source_filename(p023_sel["source"]),
+        F.lit(" codeRepository uses Git shorthand instead of full URL: '"),
+        F.coalesce(M.string_value(p023_sel), F.lit("unknown URL")), F.lit("'"),
+    )
+
+    p024_sel = _first_firing(
+        M.codemeta_or_entries(cols("identifier")),
+        lambda e: M.p024_is_bare_doi(M.string_value(e)),
+    )
+    ev["P024"] = F.concat(
+        base("P024"), F.lit("Identifier uses bare DOI instead of full URL: '"),
+        _q(M.string_value(p024_sel)), F.lit("'"),
+    )
+
+    apis = F.filter(
+        cols("code_repository"),
+        lambda e: (e["technique"] == "GitHub_API") & e["result"]["value"].isNotNull(),
+    )
+    api_v = F.when(
+        F.size(apis) > 0, F.try_element_at(apis, F.size(apis))["result"]["value"]
+    )
+    ev["P026"] = F.concat(
+        base("P026"), F.lit("codeRepository points to different repository: "),
+        F.coalesce(api_v, F.lit("unknown URL")),
+    )
+
+    p027_cm = M.first_match(
+        F.filter(
+            cols("version"),
+            lambda e: (
+                F.coalesce(e["source"], F.lit("")).contains("codemeta.json")
+                | (
+                    (e["technique"] == "code_parser")
+                    & F.lower(F.coalesce(e["source"], F.lit(""))).contains("codemeta")
+                )
+            )
+            & e["result"]["value"].isNotNull(),
+        )
+    )["result"]["value"]
+    ev["P027"] = F.concat(
+        base("P027"), F.lit("codemeta.json version '"), _q(p027_cm),
+        F.lit("' does not match package version"),
+    )
+
+    p028_sel = _first_firing(
+        M.codemeta_or_entries(cols("identifier")),
+        lambda e: M.p028_is_raw_swhid(M.string_value(e)),
+    )
+    ev["P028"] = F.concat(
+        base("P028"),
+        F.lit("codemeta Identifier uses raw SWHID without resolvable URL: '"),
+        _q(M.string_value(p028_sel)), F.lit("'"),
+    )
+
+    return ev
+
+
+TARGET_LANGUAGES = ["Python", "Java", "C++", "C", "R", "Rust"]
+
+# The summary shell's own wording (detect_pitfalls_main.py:62-253) — a
+# THIRD description table, diverging from both json_ld_utils'
+# get_pitfall_description and the JSON-LD process strings; W-rules use
+# warning_code/warning_desc keys. Kept verbatim for analysis_results.json
+# parity.
+SUMMARY_DESCRIPTIONS = {
+    "P001": "The metadata file (codemeta or other) has a version which does not correspond to the version used in the latest release",
+    "P002": "LICENSE file contains template placeholders like <program>, <year>, <name of author> that were not replaced",
+    "W003": "Software requirements in metadata files don't have version specifications",
+    "W004": "The dateModified in codemeta.json is outdated compared to the actual repository last update date",
+    "P005": "Metadata files have multiple authors in single field instead of a list",
+    "P006": "In codemeta.json README property pointing to their homepage/wiki instead of README file",
+    "P007": "codemeta.json referencePublication refers to software archive instead of paper",
+    "P008": "The metadata file has License pointing to a local file instead of stating the name",
+    "W010": "Programming languages in codemeta.json do not have versions",
+    "P011": "CITATION.cff does not have referencePublication even though it's referenced in codemeta.json",
+    "W012": "The metadata file softwareRequirements have more than one req, but it's written as one string",
+    "P013": "The metadata file softwareRequirement points to an invalid page",
+    "W014": "codemeta.json Identifier is a name instead of a valid unique identifier, but an identifier exist",
+    "W015": "codemeta.json Identifier is empty",
+    "P016": "The metadata file coderepository points to their homepage",
+    "P017": "LICENSE file only contains copyright information without actual license terms",
+    "P018": "codemeta.json IssueTracker violates the expected URL format",
+    "P019": "codemeta.json downloadURL is outdated",
+    "P020": "codemeta.json developmentStatus is a URL instead of a string",
+    "W021": "The metadata file GivenName is a list instead of a string",
+    "P022": "The metadata file License does not have the specific version",
+    "P023": "The metadata file codeRepository uses Git remote-style shorthand instead of full URL",
+    "P024": "codemeta.json uses bare DOIs in the identifier field instead of full https://doi.org/ URL",
+    "P025": "In codemeta.json contIntegration link returns 404",
+    "P026": "The metadata file codeRepository does not point to the same repository",
+    "P027": "codemeta.json version does not match the package's",
+    "P028": "codemeta.json Identifier uses raw SWHIDs without their resolvable URL",
+}
+
+
+def extract_target_languages(langs_cat: Column) -> Column:
+    """extract_programming_languages + normalize_language_name
+    (pitfall_utils.py:5-60): value-first-else-name per entry, 'python*'
+    prefix => Python, cpp variants => C++, exact-lower map for the rest,
+    filtered to the target set, order-preserving dedup."""
+    def norm(e: Column) -> Column:
+        raw = F.trim(F.coalesce(e["result"]["value"], e["result"]["name"]))
+        low = F.lower(raw)
+        return (
+            F.when(low.startswith("python"), F.lit("Python"))
+            .when(low.isin("c++", "cpp", "cplusplus"), F.lit("C++"))
+            .when(low == "java", F.lit("Java"))
+            .when(low == "c", F.lit("C"))
+            .when(low == "r", F.lit("R"))
+            .when(low == "rust", F.lit("Rust"))
+            .otherwise(raw)
+        )
+
+    names = F.transform(langs_cat, norm)
+    return F.array_distinct(
+        F.filter(
+            names,
+            lambda n: n.isNotNull() & (n != "") & n.isin(TARGET_LANGUAGES),
+        )
+    )
+
+
+def corpus_summary(
+    df: DataFrame, url_status_map: dict[str, int] | None = None
+) -> dict:
+    """The reference's analysis_results.json (detect_pitfalls_main.py:
+    52-253 shell, :325-330 language tallies, :364-391 totals/percentages)
+    over a nested corpus frame — ONE distributed aggregation (27 count
+    exprs + 27x6 language-conditioned counts + totals, all map-side
+    partial); only the single summary row reaches the driver, where
+    percentages use Python round (banker's) exactly as json.dump saw
+    them."""
+    for cat in M.CORPUS_CATEGORIES:
+        if cat not in df.columns:
+            df = df.withColumn(cat, F.array().cast(f"array<{M.ENTRY_DDL}>"))
+    # the reference extracts languages BEFORE running detectors, outside
+    # the per-detector try — a structured (non-string, truthy) language
+    # value crashes normalize_language_name and the per-FILE handler
+    # skips the document entirely (counted in the total, contributing to
+    # nothing else; detect_pitfalls_main.py:293-299, :361-363)
+    def _picked(e: Column) -> Column:
+        return F.coalesce(e["result"]["value"], e["result"]["name"])
+
+    lang_crash = F.exists(
+        F.col("programming_languages"),
+        lambda e: _picked(e).isNotNull()
+        & ~F.trim(_picked(e)).isin("", "[]", "{}")
+        & (
+            M._is_stringified_array(F.trim(_picked(e)))
+            | M._is_stringified_object(F.trim(_picked(e)))
+        ),
+    )
+    flagged = (
+        M.nested_rule_flags(df, url_status_map)
+        .withColumn("_skip", F.coalesce(lang_crash, F.lit(False)))
+        .withColumn(
+            "_langs",
+            F.when(
+                F.col("_skip"), F.array().cast("array<string>")
+            ).otherwise(
+                extract_target_languages(F.col("programming_languages"))
+            ),
+        )
+    )
+    ident = _first_value(F.col("identifier"))
+    ident_crashes = ident.isNotNull() & (
+        M._is_stringified_array(F.trim(ident))
+        | M._is_stringified_object(F.trim(ident))
+    )
+    any_hit = F.lit(False)
+    for code in CODES:
+        any_hit = any_hit | F.col(f"hit_{code}")
+    ok = ~F.col("_skip")
+    aggs = [
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(F.when(F.size("_langs") > 0, 1).otherwise(0)).alias("_with_langs"),
+        F.sum(
+            F.when(
+                ok & any_hit & ~F.coalesce(ident_crashes, F.lit(False)), 1
+            ).otherwise(0)
+        ).alias("_files_created"),
+    ]
+    for code in CODES:
+        aggs.append(
+            F.sum(F.when(ok & F.col(f"hit_{code}"), 1).otherwise(0)).alias(
+                f"_c_{code}"
+            )
+        )
+        for lang in TARGET_LANGUAGES:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        ok
+                        & F.col(f"hit_{code}")
+                        & F.array_contains("_langs", lang),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_l_{code}_{lang}")
+            )
+    row = flagged.agg(*aggs).collect()[0].asDict()
+    total = row["_total"]
+    total_p = sum(row[f"_c_{c}"] for c in CODES if c.startswith("P"))
+    total_w = sum(row[f"_c_{c}"] for c in CODES if c.startswith("W"))
+    return {
+        "summary": {
+            "total_repositories_analyzed": total,
+            "repositories_with_target_languages": row["_with_langs"],
+            "individual_jsonld_files_created": row["_files_created"],
+            "total_pitfalls_detected": total_p,
+            "total_warnings_detected": total_w,
+            "target_languages": list(TARGET_LANGUAGES),
+        },
+        "pitfalls & warnings": [
+            {
+                ("warning_code" if code.startswith("W") else "pitfall_code"): code,
+                ("warning_desc" if code.startswith("W") else "pitfall_desc"):
+                    SUMMARY_DESCRIPTIONS[code],
+                "count": row[f"_c_{code}"],
+                "percentage": round((row[f"_c_{code}"] / total) * 100, 2)
+                if total > 0
+                else 0.0,
+                "languages": {
+                    lang: row[f"_l_{code}_{lang}"]
+                    for lang in TARGET_LANGUAGES
+                    if row[f"_l_{code}_{lang}"] > 0
+                },
+            }
+            for code in CODES
+        ],
+    }
+
+
+def _first_value(cat: Column) -> Column:
+    """First entry carrying a value (the extract_software_info pattern)."""
+    return M.first_match(
+        F.filter(cat, lambda e: e["result"]["value"].isNotNull())
+    )["result"]["value"]
+
+
+def assessed_software(df_cols: set[str]) -> Column:
+    """assessedSoftware shell, json_ld_utils.py:357-400. to_json drops
+    null struct fields, which reproduces the optional schema:identifier."""
+    cols = F.col
+    name = (
+        _first_value(cols("full_name")) if "full_name" in df_cols else F.lit(None)
+    )
+    version = (
+        F.try_element_at(cols("releases"), F.lit(1))["result"]["tag"]
+        if "releases" in df_cols
+        else F.lit(None)
+    )
+    url = (
+        _first_value(cols("code_repository"))
+        if "code_repository" in df_cols
+        else F.lit(None)
+    )
+    ident = (
+        _first_value(cols("identifier")) if "identifier" in df_cols else F.lit(None)
+    )
+    ident_id = F.when(
+        ident.startswith("https://doi.org/"), ident
+    ).when(ident.startswith("10."), F.concat(F.lit("https://doi.org/"), ident))
+    return F.struct(
+        F.lit("schema:SoftwareApplication").alias("@type"),
+        F.coalesce(name, F.lit("Unknown")).alias("name"),
+        F.coalesce(version, F.lit("Unknown")).alias("softwareVersion"),
+        F.coalesce(url, F.lit("Unknown")).alias("url"),
+        F.when(
+            ident_id.isNotNull(), F.struct(ident_id.alias("@id"))
+        ).alias("schema:identifier"),
+    )
+
+
+def nested_assessments(
+    df: DataFrame,
+    url_status_map: dict[str, int] | None = None,
+    date_created: str = "1970-01-01T00:00:00Z",
+    file_col: str = "_file",
+) -> DataFrame:
+    """(file, assessment) — one reference-shaped JSON-LD document per
+    flagged document (create_pitfall_jsonld, json_ld_utils.py:462-508),
+    built in one distributed projection. `license` reproduces the
+    reference's set-literal typo (a one-element array). Documents whose
+    first identifier value would crash the reference's startswith probe
+    (structured value) are dropped, as the reference's caught exception
+    drops them (detect_pitfalls_main.py:352-354)."""
+    # normalize: every category the evidence expressions reference exists
+    # (absent -> empty array), so missing-category documents analyze and
+    # abstain exactly like F1
+    df = df.withColumnRenamed(file_col, "_file")
+    for cat in M.CORPUS_CATEGORIES:
+        if cat not in df.columns:
+            df = df.withColumn(cat, F.array().cast(f"array<{M.ENTRY_DDL}>"))
+    flagged = M.nested_rule_flags(df, url_status_map)
+    ev = evidence_columns(url_status_map)
+    checks = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"hit_{code}"),
+                    F.struct(
+                        F.lit("CheckResult").alias("@type"),
+                        F.struct(
+                            F.lit(
+                                "https://w3id.org/example/metacheck/i/indicators/"
+                                + CATEGORIES[code]
+                            ).alias("@id")
+                        ).alias("assessesIndicator"),
+                        F.struct(
+                            F.lit("schema:SoftwareApplication").alias("@type"),
+                            F.lit("metacheck").alias("name"),
+                            F.lit("https://w3id.org/example/metacheck/tools/").alias(
+                                "@id"
+                            ),
+                            F.lit("0.1.0").alias("softwareVersion"),
+                        ).alias("checkingSoftware"),
+                        F.lit(DESCRIPTIONS[code]).alias("process"),
+                        F.struct(
+                            F.lit("schema:CompletedActionStatus").alias("@id")
+                        ).alias("status"),
+                        F.lit(code).alias("checkId"),
+                        ev[code].alias("evidence"),
+                        F.lit(SUGGESTIONS[code]).alias("suggestion"),
+                    ),
+                )
+                for code in CODES
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    cols_present = set(df.columns)
+    name = _first_value(F.col("full_name"))
+    desc = _first_value(F.col("description"))
+    ident = _first_value(F.col("identifier"))
+    doc = F.struct(
+        F.lit("https://w3id.org/example/metacheck/0.1.0/").alias("@context"),
+        F.lit("SoftwareQualityAssessment").alias("@type"),
+        F.concat(
+            F.lit("Quality Assessment for "), F.coalesce(name, F.lit("Unknown"))
+        ).alias("name"),
+        F.coalesce(
+            desc, F.lit("Software quality assessment for repository metadata")
+        ).alias("description"),
+        F.struct(
+            F.lit("schema:Person").alias("@type"),
+            F.lit("Anas El Hounsri").alias("name"),
+            F.lit("a.elhounsri@upm.com").alias("email"),
+        ).alias("creator"),
+        F.lit(date_created).alias("dateCreated"),
+        F.array(F.lit("@id: https://opensource.org/license/mit")).alias("license"),
+        assessed_software(cols_present).alias("assessedSoftware"),
+        checks.alias("checks"),
+    )
+    # the reference's identifier startswith probe crashes on a structured
+    # first value -> whole document skipped
+    ident_crashes = ident.isNotNull() & (
+        M._is_stringified_array(F.trim(ident))
+        | M._is_stringified_object(F.trim(ident))
+    )
+    return (
+        flagged.withColumn("checks", checks)
+        .filter(F.size("checks") > 0)
+        .filter(~F.coalesce(ident_crashes, F.lit(False)))
+        .select(F.col("_file").alias("file"), F.to_json(doc).alias("assessment"))
+    )
