@@ -776,6 +776,32 @@ def q_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppl_docs_sql() -> str:
+    """DuckDB oracle for the char-bigram LM: the 27-char corpus alphabet
+    (ASCII lowercase + space, so bytes == characters) makes the 256x256
+    log-prob table reducible to a 729-entry map literal generated from the
+    SAME trained LOGP the UDF uses. Same addends in the same left-to-right
+    order => bit-identical doubles before rounding."""
+    from metacheck_spark.functions.perplexity import LOGP
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    entries = ", ".join(
+        f"'{c1}{c2}': {LOGP[ord(c1), ord(c2)]!r}"
+        for c1 in alphabet
+        for c2 in alphabet
+    )
+    return f"""
+WITH m AS (SELECT MAP {{{entries}}} AS mp),
+t AS (SELECT doc_id, lower(text) AS s FROM documents)
+SELECT doc_id,
+  CASE WHEN length(s) < 2 THEN 0.0
+       ELSE round(-list_sum(list_transform(range(1, length(s)),
+              i -> mp[substr(s, i, 2)][1])) / (length(s) - 1), 6)
+  END AS ppl
+FROM t CROSS JOIN m
+"""
+
+
 def q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metacheck_spark.pipeline import scrub_udf
 
@@ -1179,9 +1205,9 @@ def oracle_sql() -> dict[str, str]:
         "length_percentiles": _LENGTH_PERCENTILES_SQL,
         "langid_docs": _langid_docs_sql(),
         "scrub_docs": _SCRUB_DOCS_SQL,
-        # ppl_docs / image_pipeline / image_features: the KenLM-style
-        # log-prob table and binary decode are not SQL-expressible ->
-        # rows-only driver check; value parity vs the pure-Python oracle
-        # is asserted in pytest (tests/test_models.py,
-        # tests/test_pipeline.py, tests/test_images_ops.py).
+        "ppl_docs": _ppl_docs_sql(),
+        # image_pipeline / image_features / thumbnails / audio / video:
+        # binary decode stages are not SQL-expressible -> rows-only driver
+        # check; value parity vs the pure-Python oracle is asserted in
+        # pytest (tests/test_images_ops.py, tests/test_pipeline.py).
     }

@@ -138,12 +138,6 @@ def technique_entries(cat: Column, technique: str) -> Column:
     return F.filter(cat, lambda e: e["technique"] == technique)
 
 
-def metadata_source_entries(cat: Column) -> Column:
-    """Source-filename-only entry filter — the p001.py:24 / w003.py:23
-    variant that does NOT require technique == code_parser."""
-    return F.filter(cat, _source_is_metadata)
-
-
 def scalar_value(e: Column) -> Column:
     """The reference handles result.value being a plain string OR a
     structured dict with a 'name' field, and SKIPS list values
@@ -445,7 +439,6 @@ def w010_unversioned_names(langs_cat: Column) -> Column:
 
 from pyspark.sql import DataFrame  # noqa: E402
 
-from metacheck_spark.functions import patterns as PAT  # noqa: E402
 from metacheck_spark.rules import registry as R  # noqa: E402
 
 def codemeta_entries(cat: Column) -> Column:
