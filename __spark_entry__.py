@@ -250,6 +250,67 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over near-dup pairs (connected components via
+    min-label propagation, operators/dedup.py:dedup_clusters): the step a
+    real dedup needs beyond pair emission. Seeds CHAINS (doc -> variant ->
+    longer variant) so transitive closure is actually exercised — A~C may
+    be absent from the pair set while {A,B,C} is one cluster."""
+    d = _documents(spark, sf_dir).select("doc_id", "text").filter(F.col("doc_id") < 150)
+    v1 = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    v2 = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token extra token")).alias("text"),
+    )
+    base = d.unionAll(v1).unionAll(v2)
+    pairs = D.ngram_jaccard_pairs(base, "text", "doc_id", n=2, threshold=0.8)
+    return D.dedup_clusters(pairs)
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extra token'
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 150
+  UNION ALL
+  SELECT doc_id + 200000, text || ' extra token extra token'
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 150
+),
+sh AS (
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(
+             range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+             i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text), '\\s+')[i+1]
+           )
+         ) AS sh
+  FROM base
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+)
+SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only driver check; recall/precision vs
     brute-force Jaccard asserted in tests/test_dedup_similarity.py)."""
@@ -1135,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
@@ -1181,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         # its VERIFIED output — exact word-2gram Jaccard over candidate
         # pairs — equals the brute-force pair set: the same SQL is a
         # value oracle for it.
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "minhash_pairs": _NGRAM_JACCARD_SQL,
         # simhash_pairs / lsh_topk: FNV / sign-LSH bucketing are not
         # DuckDB-expressible -> rows-only driver check; recall+precision

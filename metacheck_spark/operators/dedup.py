@@ -425,3 +425,69 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- cluster resolution ------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) connected components over near-dup pairs — the
+    step an actual dedup needs beyond pair emission: "keep one doc per
+    CLUSTER", where clusters are the transitive closure of pairwise
+    matches (A~B, B~C => {A,B,C} even if A~C was never emitted — exactly
+    what the star-routed oversized buckets produce).
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    set, driver-controlled loop with a convergence check per round —
+    the standard DataFrame shape for iterative graph algorithms (each
+    round is one shuffle join + aggregate; Catalyst/AQE optimize each
+    round independently). Rounds needed = graph diameter, which for LSH
+    dedup clusters (near-cliques, or stars around a hub) is 1-2; the
+    default cap is far above any real corpus. Label state is persisted
+    per round and the previous round unpersisted, so memory is O(V)
+    regardless of iteration count.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -202,3 +202,21 @@ def test_no_rdd_access_in_package():
         if ".rdd" in p.read_text()
     ]
     assert offenders == [], f".rdd access in {offenders}"
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C without A~C must land in ONE cluster labeled min(id);
+    disjoint pairs stay separate; convergence well under the iter cap."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
