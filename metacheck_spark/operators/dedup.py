@@ -166,11 +166,14 @@ def minhash_signatures(
     candidate pairs by definition.
     """
     src = _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    # project the base shingle hash to a COLUMN before aggregating: the 64
+    # min-expressions then reference one materialized value per row, rather
+    # than relying on codegen CSE to fold 64 copies of xxhash64(g)
     sh = src.select(
         "id",
         F.explode(word_ngrams(F.col("t"), shingle_n)).alias("g"),
-    )
-    h = F.pmod(F.xxhash64("g"), F.lit(_MERSENNE31))
+    ).select("id", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE31)).alias("h"))
+    h = F.col("h")
     aggs = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
