@@ -1064,6 +1064,453 @@ FROM built
 """
 
 
+_NESTED_URL_STATUS = {
+    "https://ok.example.org/a": 200,
+    "https://moved.example.org/a": 301,
+    "https://gone.example.org/a": 404,
+}
+
+
+def q_somef_nested_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL 27-rule nested battery cross-engine: every category built
+    deterministically from doc_id in BOTH engines (controlled single/
+    double-entry arrays covering each rule's fire and abstain paths,
+    including the P013/P025 frozen-URL quirk pair), evaluated with
+    `nested_rule_flags`' faithful semantics, output = 27 booleans."""
+    from metacheck_spark.rules import somef as M
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+
+    def entry(value, source, technique="code_parser", tag=None, name=None,
+              version=None):
+        def c(x):
+            if x is None:
+                return F.lit(None).cast("string")
+            return x if isinstance(x, F.Column) else F.lit(x)
+
+        return F.struct(
+            F.lit(1.0).alias("confidence"),
+            c(technique).alias("technique"),
+            c(source).alias("source"),
+            F.struct(
+                F.lit("String").alias("type"),
+                c(value).alias("value"),
+                c(name).alias("name"),
+                c(tag).alias("tag"),
+                c(version).alias("version"),
+            ).alias("result"),
+        )
+
+    arr_t = f"array<{M.ENTRY_DDL}>"
+
+    # version + releases: the round-1 P001/P027 shapes
+    meta_v = F.concat(F.lit("v1."), (did % 5).cast("string"), F.lit(".0"))
+    rel_tag = (
+        F.when(did % 3 == 0, F.concat(F.lit("1."), (did % 5).cast("string"), F.lit(".0")))
+        .when(did % 3 == 1, F.lit("2.0.0"))
+    )
+    pkg_v = F.when(did % 2 == 0, F.regexp_replace(meta_v, "^v", "")).otherwise(meta_v)
+    version = F.array(entry(meta_v, "codemeta.json"), entry(pkg_v, "package.json"))
+    releases = F.when(did % 3 == 2, F.array().cast(arr_t)).otherwise(
+        F.array(entry(None, "GitHub_API", technique="GitHub_API", tag=rel_tag))
+    )
+
+    # identifier: W015 / P024 / W014 / P028 cases by doc_id % 6
+    ident_v = (
+        F.when(did % 6 == 0, F.lit("   "))
+        .when(did % 6 == 1, F.lit(None).cast("string"))
+        .when(did % 6 == 2, F.concat(F.lit("doi:10.1234/x"), did.cast("string")))
+        .when(did % 6 == 3, F.lit("mytool"))
+        .when(did % 6 == 4, F.lit("swh:1:rev:" + "ab" * 20))
+        .otherwise(F.lit("https://doi.org/10.1/ok"))
+    )
+    identifier = F.when(
+        did % 6 == 3,
+        F.array(
+            entry(F.lit("mytool"), "codemeta.json"),
+            entry(F.lit("10.1234/abc"), "zenodo.json"),
+        ),
+    ).otherwise(F.array(entry(ident_v, "codemeta.json")))
+
+    # license: P002 / P017 / P022 / P008 cases by doc_id % 5
+    lic_src = F.when(did % 5 < 2, F.lit("https://x/blob/main/LICENSE.md")).otherwise(
+        F.lit("codemeta.json")
+    )
+    lic_tech = F.when(did % 5 < 2, F.lit("file_exploration")).otherwise(
+        F.lit("code_parser")
+    )
+    lic_v = (
+        F.when(did % 5 == 0, F.lit("copyright <year> template"))
+        .when(did % 5 == 1, F.lit("YEAR: 2017\nCOPYRIGHT HOLDER: Adam H. Sparks"))
+        .when(did % 5 == 2, F.lit("released under GPL"))
+        .when(did % 5 == 3, F.lit("./LICENSE.md"))
+        .otherwise(F.lit("MIT"))
+    )
+    license_ = F.array(entry(lic_v, lic_src, technique=lic_tech))
+
+    # authors: P005 / W021 / P011's CITATION.cff presence
+    auth_src = F.when(did % 7 == 0, F.lit("CITATION.cff")).otherwise(
+        F.lit("codemeta.json")
+    )
+    auth_v = (
+        F.when(did % 3 == 0, F.lit("Alice and Bob"))
+        .when(did % 3 == 1, F.lit("The [red, fox] team"))
+        .otherwise(F.lit("Alice"))
+    )
+    authors = F.array(entry(auth_v, auth_src))
+
+    # requirements: W003 / W012
+    req_v = (
+        F.when(did % 3 == 0, F.lit("numpy"))
+        .when(did % 3 == 1, F.lit("Numpy Pandas"))
+        .otherwise(F.lit("numpy >= 1.4"))
+    )
+    requirements = F.array(entry(req_v, "codemeta.json"))
+
+    readme_url = F.array(
+        entry(
+            F.when(
+                did % 2 == 0, F.lit("https://proj.readthedocs.io/en/latest")
+            ).otherwise(F.lit("https://raw.githubusercontent.com/o/r/README.md")),
+            "codemeta.json",
+        )
+    )
+    reference_publication = F.array(
+        entry(
+            F.when(did % 2 == 0, F.lit("https://zenodo.org/record/9")).otherwise(
+                F.lit("https://doi.org/10.1/x")
+            ),
+            "codemeta.json",
+        )
+    )
+    development_status = F.array(
+        entry(
+            F.when(
+                did % 2 == 0, F.lit("https://www.repostatus.org/#active")
+            ).otherwise(F.lit("active")),
+            "codemeta.json",
+        )
+    )
+    issues_url = F.array(
+        entry(
+            F.when(did % 3 == 0, F.lit("https://x.org/issues  ")).otherwise(
+                F.lit("https://x.org/issues")
+            ),
+            "codemeta.json",
+        )
+    )
+
+    # code_repository: P023 / P016 / P026 interplay by doc_id % 4
+    repo_v = (
+        F.when(did % 4 == 0, F.lit("example.com:user/repo.git"))
+        .when(did % 4 == 1, F.lit("https://www.photosite.com/gallery"))
+        .when(did % 4 == 2, F.lit("git@github.com:o/r.git"))
+        .otherwise(F.lit("https://github.com/o/r"))
+    )
+    code_repository = F.array(
+        entry(repo_v, "codemeta.json"),
+        entry(F.lit("https://github.com/o/r"), None, technique="GitHub_API"),
+    )
+
+    # date_updated: W004 by doc_id % 3
+    date_updated = (
+        F.when(
+            did % 3 == 0,
+            F.array(
+                entry(F.lit("2024-03-10"), None, technique="GitHub_API"),
+                entry(F.lit("2024-03-01"), "codemeta.json"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.array(
+                entry(F.lit("2024-03-02"), None, technique="GitHub_API"),
+                entry(F.lit("2024-03-01"), "codemeta.json"),
+            ),
+        )
+        .otherwise(F.array(entry(F.lit("2024-03-05"), None, technique="GitHub_API")))
+    )
+
+    download_url = F.when(
+        did % 3 == 0,
+        F.array(entry(F.lit("https://x.org/archive/v2.0.0"), "codemeta.json")),
+    ).otherwise(F.array().cast(arr_t))
+
+    programming_languages = F.array(
+        entry(
+            F.lit("Python"), "codemeta.json", name=F.lit("Python"),
+            version=F.when(did % 2 == 0, F.lit(None).cast("string")).otherwise(
+                F.lit("3.11")
+            ),
+        )
+    )
+
+    software_requirements = F.array(
+        entry(
+            F.when(did % 3 == 0, F.lit("see https://gone.example.org/a")).otherwise(
+                F.lit("see https://moved.example.org/a")
+            ),
+            "codemeta.json",
+        )
+    )
+    continuous_integration = F.array(
+        entry(
+            F.when(did % 3 == 0, F.lit("https://moved.example.org/a"))
+            .when(did % 3 == 1, F.lit("https://ok.example.org/a"))
+            .otherwise(F.lit("not a url")),
+            "codemeta.json",
+        )
+    )
+
+    df = (
+        d.withColumn("version", version)
+        .withColumn("releases", releases)
+        .withColumn("identifier", identifier)
+        .withColumn("license", license_)
+        .withColumn("authors", authors)
+        .withColumn("requirements", requirements)
+        .withColumn("readme_url", readme_url)
+        .withColumn("reference_publication", reference_publication)
+        .withColumn("development_status", development_status)
+        .withColumn("issues_url", issues_url)
+        .withColumn("code_repository", code_repository)
+        .withColumn("date_updated", date_updated)
+        .withColumn("download_url", download_url)
+        .withColumn("programming_languages", programming_languages)
+        .withColumn("software_requirements", software_requirements)
+        .withColumn("continuous_integration", continuous_integration)
+    )
+    flagged = M.nested_rule_flags(df, _NESTED_URL_STATUS)
+    codes = [
+        "P001", "P002", "W003", "W004", "P005", "P006", "P007", "P008",
+        "W010", "P011", "W012", "P013", "W014", "W015", "P016", "P017",
+        "P018", "P019", "P020", "W021", "P022", "P023", "P024", "P025",
+        "P026", "P027", "P028",
+    ]
+    return flagged.select(
+        "doc_id", *[F.col(f"hit_{c}").alias(c.lower()) for c in codes]
+    )
+
+
+# Oracle for the full nested battery. The fixture's controlled arrays make
+# each rule's SELECTION trivial (the single qualifying entry is known per
+# residue), so the SQL recomputes the same scalar inputs and applies each
+# detector's PREDICATE logic independently (regex ladders, normalize
+# chains, URL status) — the cross-engine check is on the rule semantics.
+# P005's comma-except-Jr lookahead is RE2-unsafe; emulated by deleting
+# Jr-commas before the separator test.
+_SOMEF_NESTED_FULL_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4,
+         doc_id % 5 AS m5, doc_id % 6 AS m6, doc_id % 7 AS m7
+  FROM documents
+),
+vals AS (
+  SELECT *,
+    'v1.' || m5 || '.0' AS meta_v,
+    CASE WHEN m2 = 0 THEN '1.' || m5 || '.0' ELSE 'v1.' || m5 || '.0' END AS pkg_v,
+    CASE WHEN m3 = 0 THEN '1.' || m5 || '.0' WHEN m3 = 1 THEN '2.0.0' END AS rel_tag,
+    CASE WHEN m6 = 0 THEN '   '
+         WHEN m6 = 2 THEN 'doi:10.1234/x' || doc_id
+         WHEN m6 = 3 THEN 'mytool'
+         WHEN m6 = 4 THEN 'swh:1:rev:abababababababababababababababababababab'
+         WHEN m6 = 5 THEN 'https://doi.org/10.1/ok' END AS ident_v,
+    CASE WHEN m6 = 3 THEN '10.1234/abc' END AS ident_other,
+    CASE WHEN m5 = 0 THEN 'copyright <year> template'
+         WHEN m5 = 1 THEN 'YEAR: 2017' || chr(10) || 'COPYRIGHT HOLDER: Adam H. Sparks'
+         WHEN m5 = 2 THEN 'released under GPL'
+         WHEN m5 = 3 THEN './LICENSE.md'
+         ELSE 'MIT' END AS lic_v,
+    CASE WHEN m3 = 0 THEN 'Alice and Bob'
+         WHEN m3 = 1 THEN 'The [red, fox] team'
+         ELSE 'Alice' END AS auth_v,
+    CASE WHEN m7 = 0 THEN 'CITATION.cff' ELSE 'codemeta.json' END AS auth_src,
+    CASE WHEN m3 = 0 THEN 'numpy'
+         WHEN m3 = 1 THEN 'Numpy Pandas'
+         ELSE 'numpy >= 1.4' END AS req_v,
+    CASE WHEN m2 = 0 THEN 'https://proj.readthedocs.io/en/latest'
+         ELSE 'https://raw.githubusercontent.com/o/r/README.md' END AS readme_v,
+    CASE WHEN m2 = 0 THEN 'https://zenodo.org/record/9'
+         ELSE 'https://doi.org/10.1/x' END AS refpub_v,
+    CASE WHEN m2 = 0 THEN 'https://www.repostatus.org/#active' ELSE 'active' END AS dev_v,
+    CASE WHEN m3 = 0 THEN 'https://x.org/issues  ' ELSE 'https://x.org/issues' END AS iss_v,
+    CASE WHEN m4 = 0 THEN 'example.com:user/repo.git'
+         WHEN m4 = 1 THEN 'https://www.photosite.com/gallery'
+         WHEN m4 = 2 THEN 'git@github.com:o/r.git'
+         ELSE 'https://github.com/o/r' END AS repo_v,
+    'https://github.com/o/r' AS api_v,
+    CASE WHEN m3 = 0 THEN '2024-03-10' WHEN m3 = 1 THEN '2024-03-02'
+         ELSE '2024-03-05' END AS api_date,
+    CASE WHEN m3 IN (0, 1) THEN '2024-03-01' END AS cm_date,
+    CASE WHEN m3 = 0 THEN 'https://x.org/archive/v2.0.0' END AS dl_v,
+    CASE WHEN m2 = 1 THEN '3.11' END AS lang_ver,
+    CASE WHEN m3 = 0 THEN 'see https://gone.example.org/a'
+         ELSE 'see https://moved.example.org/a' END AS sreq_v,
+    CASE WHEN m3 = 0 THEN 'https://moved.example.org/a'
+         WHEN m3 = 1 THEN 'https://ok.example.org/a'
+         ELSE 'not a url' END AS ci_v
+  FROM base
+),
+v2 AS (
+  SELECT *,
+    regexp_extract(sreq_v, 'https?://[^\s<>"'']+') AS sreq_url,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(trim(repo_v)), '^git\+', ''), '^git@([^:]+):', 'https://\1/'),
+      '\.git$', ''), '/$', '') AS repo_norm,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(trim(api_v)), '^git\+', ''), '^git@([^:]+):', 'https://\1/'),
+      '\.git$', ''), '/$', '') AS api_norm
+  FROM vals
+)
+SELECT doc_id,
+  coalesce(rel_tag IS NOT NULL AND rel_tag != ''
+           AND trim(regexp_replace(meta_v, '^[vV]', ''))
+             != trim(regexp_replace(rel_tag, '^[vV]', '')), FALSE) AS p001,
+  coalesce(m5 < 2 AND regexp_matches(lower(lic_v),
+    '(<program>|<year>|<name of author>|<name>|<copyright holders?>|<owner>|<author>|\[year\]|\[fullname\]|\[name\]|\[copyright holder\]|<yyyy>|<name of copyright owner>)'),
+    FALSE) AS p002,
+  coalesce(NOT regexp_matches(req_v, '(==|>=|<=|~=|!=|[><^~])'), FALSE) AS w003,
+  coalesce(api_date IS NOT NULL AND cm_date IS NOT NULL
+           AND strptime(api_date, '%Y-%m-%d') > strptime(cm_date, '%Y-%m-%d')
+           AND floor(date_diff('second', strptime(cm_date, '%Y-%m-%d'),
+                               strptime(api_date, '%Y-%m-%d')) / 86400.0) > 1,
+           FALSE) AS w004,
+  coalesce(auth_src != 'CITATION.cff'
+           AND regexp_matches(regexp_replace(auth_v, ',\s*[Jj][Rr]\.?', ''),
+                              '(?i)( and | & |;|\n|,)'), FALSE) AS p005,
+  coalesce(
+    CASE WHEN contains(lower(readme_v), 'raw.githubusercontent.com') THEN FALSE
+         WHEN contains(lower(readme_v), 'github.com') OR contains(lower(readme_v), 'gitlab.com')
+           THEN NOT (contains(lower(readme_v), 'readme') OR contains(lower(readme_v), 'blob/'))
+         WHEN contains(lower(readme_v), '.readthedocs.io') OR contains(lower(readme_v), '.github.io')
+              OR contains(lower(readme_v), 'wiki') OR contains(lower(readme_v), 'docs.')
+              OR contains(lower(readme_v), 'documentation') THEN TRUE
+         WHEN contains(lower(readme_v), '.org') OR contains(lower(readme_v), '.com')
+              OR contains(lower(readme_v), '.net')
+           THEN NOT (contains(lower(readme_v), '.md') OR contains(lower(readme_v), '.txt')
+                     OR contains(lower(readme_v), '.rst') OR contains(lower(readme_v), '.html')
+                     OR contains(lower(readme_v), 'readme'))
+                AND NOT contains(string_split(lower(readme_v), '.')[-1], '/')
+         ELSE FALSE END, FALSE) AS p006,
+  coalesce(regexp_matches(lower(trim(refpub_v)),
+    '(zenodo\.org|figshare\.com|github\.com/.*/releases|sourceforge\.net|archive\.org|codeocean\.com|osf\.io|doi\.org/10\.5281)'),
+    FALSE) AS p007,
+  coalesce(m5 >= 2
+           AND NOT starts_with(lower(trim(lic_v)), 'http://')
+           AND NOT starts_with(lower(trim(lic_v)), 'https://')
+           AND (starts_with(lic_v, './') OR starts_with(lic_v, '../')
+                OR contains(lic_v, '/') OR contains(lic_v, '\')
+                OR lower(trim(lic_v)) IN ('license','license.md','license.txt','license.rst',
+                    'copying','copying.md','copying.txt','copyright','copyright.md',
+                    'copyright.txt','licence','licence.md','licence.txt','readme.md',
+                    'doc.txt','file.rst')
+                OR lower(trim(lic_v)) LIKE '%.md' OR lower(trim(lic_v)) LIKE '%.txt'
+                OR lower(trim(lic_v)) LIKE '%.rst'), FALSE) AS p008,
+  coalesce(lang_ver IS NULL, FALSE) AS w010,
+  coalesce(contains(auth_src, 'CITATION.cff'), FALSE) AS p011,
+  coalesce(regexp_matches(trim(req_v), '\s{2,}')
+           OR regexp_matches(trim(req_v), '\s[A-Z][A-Za-z]'), FALSE) AS w012,
+  coalesce(sreq_url != '' AND NOT (
+      (CASE sreq_url WHEN 'https://ok.example.org/a' THEN 200
+                     WHEN 'https://moved.example.org/a' THEN 301
+                     WHEN 'https://gone.example.org/a' THEN 404 END
+       BETWEEN 200 AND 299)
+      OR CASE sreq_url WHEN 'https://ok.example.org/a' THEN 200
+              WHEN 'https://moved.example.org/a' THEN 301
+              WHEN 'https://gone.example.org/a' THEN 404 END = 301),
+    FALSE) AS p013,
+  coalesce(ident_v IS NOT NULL AND ident_v != ''
+    AND NOT (CASE WHEN trim(ident_v) = '' THEN FALSE
+                  WHEN regexp_matches(trim(ident_v), '(?i)^doi:10\.\d+/.')
+                       OR regexp_matches(trim(ident_v), '(?i)^10\.\d+/.') THEN TRUE
+                  WHEN lower(trim(ident_v)) IN ('doi:', '10.') THEN FALSE
+                  WHEN regexp_matches(trim(ident_v), '(?i)^https?://.') THEN TRUE
+                  WHEN contains(trim(ident_v), ' ') AND NOT contains(trim(ident_v), '/')
+                       AND NOT contains(trim(ident_v), ':')
+                       AND NOT contains(trim(ident_v), '.') THEN FALSE
+                  WHEN replace(replace(replace(trim(ident_v), ' ', ''), '-', ''), '_', '') != ''
+                       AND regexp_matches(replace(replace(replace(trim(ident_v), ' ', ''), '-', ''), '_', ''), '^[[:alpha:]]+$')
+                    THEN FALSE
+                  ELSE TRUE END)
+    AND ident_other IS NOT NULL
+    AND (regexp_matches(trim(ident_other), '(?i)^doi:10\.\d+/.')
+         OR regexp_matches(trim(ident_other), '(?i)^10\.\d+/.')
+         OR regexp_matches(trim(ident_other), '(?i)^https?://.')), FALSE) AS w014,
+  coalesce(ident_v IS NOT NULL AND trim(ident_v) IN ('', '[]', '{}'), FALSE) AS w015,
+  coalesce(
+    NOT (contains(lower(repo_v), 'github.com/') OR contains(lower(repo_v), 'gitlab.com/')
+         OR contains(lower(repo_v), 'bitbucket.org/')
+         OR contains(lower(repo_v), 'sourceforge.net/projects/')
+         OR contains(lower(repo_v), 'git.') OR contains(lower(repo_v), '.git'))
+    AND (contains(lower(repo_v), '.org/') OR contains(lower(repo_v), '.com/')
+         OR contains(lower(repo_v), '.net/') OR contains(lower(repo_v), '.io/')
+         OR contains(lower(repo_v), 'www.') OR contains(lower(repo_v), 'docs.')
+         OR contains(lower(repo_v), 'documentation') OR contains(lower(repo_v), 'readthedocs')
+         OR contains(lower(repo_v), 'github.io')), FALSE) AS p016,
+  coalesce(m5 < 2 AND (
+      (regexp_matches(lower(lic_v), 'year:\s*\d{4}')
+       AND regexp_matches(lower(lic_v), 'copyright\s+holder:'))
+      OR ((regexp_matches(lower(lic_v), 'year:\s*\d{4}')
+           OR regexp_matches(lower(lic_v), 'copyright\s+holder:\s*[a-zA-Z]')
+           OR regexp_matches(lower(lic_v), 'author:\s*[a-zA-Z]')
+           OR regexp_matches(lower(lic_v), 'copyright\s*©?\s*\d{4}')
+           OR regexp_matches(lower(lic_v), '©\s*\d{4}')
+           OR regexp_matches(lower(lic_v), '\(c\)\s*\d{4}'))
+          AND NOT (regexp_matches(lower(lic_v), 'permission\s+is\s+hereby\s+granted')
+                   OR regexp_matches(lower(lic_v), 'licensed\s+under')
+                   OR regexp_matches(lower(lic_v), 'liability')
+                   OR regexp_matches(lower(lic_v), 'mit\s+license')
+                   OR regexp_matches(lower(lic_v), 'apache\s+license')
+                   OR regexp_matches(lower(lic_v), 'terms\s+and\s+conditions'))
+          AND len(list_filter(string_split(lic_v, chr(10)), x -> trim(x) != '')) <= 10)
+    ), FALSE) AS p017,
+  coalesce(iss_v != '' AND (contains(iss_v, chr(10)) OR contains(iss_v, chr(13))
+           OR iss_v != trim(iss_v) OR contains(iss_v, '  ')), FALSE) AS p018,
+  coalesce(dl_v IS NOT NULL AND dl_v != ''
+           AND regexp_extract(dl_v, '/archive/(?:v)?(\d+\.\d+(?:\.\d+)?(?:[a-zA-Z0-9\-\.]*)?)', 1) != ''
+           AND rel_tag IS NOT NULL AND rel_tag != ''
+           AND regexp_extract(dl_v, '/archive/(?:v)?(\d+\.\d+(?:\.\d+)?(?:[a-zA-Z0-9\-\.]*)?)', 1)
+             != CASE WHEN starts_with(rel_tag, 'v') THEN substr(rel_tag, 2) ELSE rel_tag END,
+           FALSE) AS p019,
+  coalesce(lower(trim(dev_v)) != '' AND (
+      regexp_matches(lower(trim(dev_v)), '^https?://')
+      OR regexp_matches(lower(trim(dev_v)), '^www\.')
+      OR contains(lower(trim(dev_v)), '.org') OR contains(lower(trim(dev_v)), '.com')
+      OR contains(lower(trim(dev_v)), '.net')), FALSE) AS p020,
+  coalesce(auth_src != 'CITATION.cff'
+           AND regexp_matches(auth_v, '\[[^\]\n]*,[^\]\n]*\]'), FALSE) AS w021,
+  coalesce(m5 >= 2 AND (
+      (contains(upper(lic_v), 'GPL') AND NOT regexp_matches(upper(lic_v), 'GPL-?\d+(\.\d+)?'))
+      OR (contains(upper(lic_v), 'LGPL') AND NOT regexp_matches(upper(lic_v), 'LGPL-?\d+(\.\d+)?'))
+      OR (contains(upper(lic_v), 'AGPL') AND NOT regexp_matches(upper(lic_v), 'AGPL-?\d+(\.\d+)?'))
+      OR (contains(upper(lic_v), 'CC') AND NOT regexp_matches(upper(lic_v), 'CC[- ]BY[- ]?\d+(\.\d+)?'))
+      OR contains(upper(lic_v), 'BSD')), FALSE) AS p022,
+  coalesce(NOT starts_with(trim(repo_v), 'http://')
+           AND NOT starts_with(trim(repo_v), 'https://')
+           AND regexp_matches(trim(repo_v), '^[a-zA-Z0-9.-]+:[a-zA-Z0-9._/-]+$'),
+           FALSE) AS p023,
+  coalesce(ident_v IS NOT NULL
+           AND NOT starts_with(trim(ident_v), 'https://doi.org/')
+           AND (regexp_matches(trim(ident_v), '^doi:10\.\d+/')
+                OR regexp_matches(trim(ident_v), '^10\.\d+/')), FALSE) AS p024,
+  coalesce(NOT (regexp_matches(ci_v, '(?i)^https?://[^/\s]+')
+                AND CASE ci_v WHEN 'https://ok.example.org/a' THEN 200
+                        WHEN 'https://moved.example.org/a' THEN 301
+                        WHEN 'https://gone.example.org/a' THEN 404 ELSE NULL END
+                    BETWEEN 200 AND 299), FALSE) AS p025,
+  coalesce(repo_norm != api_norm, FALSE) AS p026,
+  coalesce(trim(pkg_v) != trim(meta_v), FALSE) AS p027,
+  coalesce(ident_v IS NOT NULL
+           AND NOT starts_with(trim(ident_v), 'http://')
+           AND NOT starts_with(trim(ident_v), 'https://')
+           AND regexp_matches(trim(ident_v), '^swh:1:[a-z]+:[a-f0-9]{40}$'),
+           FALSE) AS p028
+FROM v2
+"""
+
+
 def q_lang_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + array_sort (the reference's set-to-sorted-list
     conversions, json_ld_utils.py:449-460)."""
@@ -1222,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "image_features": q_image_features,
         "somef_nested": q_somef_nested,
+        "somef_nested_full": q_somef_nested_full,
         "lang_sources": q_lang_sources,
         "length_percentiles": q_length_percentiles,
         "thumbnails": q_thumbnails,
@@ -1264,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "running_daily": _RUNNING_DAILY_SQL,
         "date_parse": _DATE_PARSE_SQL,
         "somef_nested": _SOMEF_NESTED_SQL,
+        "somef_nested_full": _SOMEF_NESTED_FULL_SQL,
         "lang_sources": _LANG_SOURCES_SQL,
         "length_percentiles": _LENGTH_PERCENTILES_SQL,
         "langid_docs": _langid_docs_sql(),
