@@ -1071,12 +1071,10 @@ _NESTED_URL_STATUS = {
 }
 
 
-def q_somef_nested_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL 27-rule nested battery cross-engine: every category built
-    deterministically from doc_id in BOTH engines (controlled single/
-    double-entry arrays covering each rule's fire and abstain paths,
-    including the P013/P025 frozen-URL quirk pair), evaluated with
-    `nested_rule_flags`' faithful semantics, output = 27 booleans."""
+def _nested_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nested SoMEF fixture: every category built from
+    doc_id with controlled single/double-entry arrays covering each
+    rule's fire and abstain paths."""
     from metacheck_spark.rules import somef as M
 
     d = _documents(spark, sf_dir).select("doc_id")
@@ -1281,6 +1279,17 @@ def q_somef_nested_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("software_requirements", software_requirements)
         .withColumn("continuous_integration", continuous_integration)
     )
+    return df
+
+
+def q_somef_nested_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL 27-rule nested battery cross-engine over the deterministic
+    fixture, evaluated with `nested_rule_flags`' faithful semantics,
+    output = 27 booleans hash-checked against independent DuckDB
+    predicate implementations."""
+    from metacheck_spark.rules import somef as M
+
+    df = _nested_fixture_df(spark, sf_dir)
     flagged = M.nested_rule_flags(df, _NESTED_URL_STATUS)
     codes = [
         "P001", "P002", "W003", "W004", "P005", "P006", "P007", "P008",
@@ -1291,6 +1300,20 @@ def q_somef_nested_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "doc_id", *[F.col(f"hit_{c}").alias(c.lower()) for c in codes]
     )
+
+
+def q_somef_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped JSON-LD assessment documents over the nested
+    fixture (sources/jsonld.py — the surface proven exact against the
+    executed reference on its own corpus in tests/test_jsonld_parity.py).
+    Rows-only driver check: the JSON string surface has no SQL-expressible
+    oracle; fidelity is pinned by the corpus parity test instead."""
+    from metacheck_spark.sources.jsonld import nested_assessments
+
+    df = _nested_fixture_df(spark, sf_dir).withColumn(
+        "_file", F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    )
+    return nested_assessments(df, _NESTED_URL_STATUS)
 
 
 # Oracle for the full nested battery. The fixture's controlled arrays make
@@ -1670,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "somef_nested": q_somef_nested,
         "somef_nested_full": q_somef_nested_full,
+        "somef_jsonld": q_somef_jsonld,
         "lang_sources": q_lang_sources,
         "length_percentiles": q_length_percentiles,
         "thumbnails": q_thumbnails,
