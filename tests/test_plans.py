@@ -74,3 +74,51 @@ def test_cosine_topk_avoids_full_sort(spark):
     top-k + driver merge), not a global Sort+Exchange."""
     plan = _plan(E.q_cosine_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nested_battery_is_single_projection(spark):
+    """The full 27-rule nested battery over the fixture is pure Column
+    logic: ZERO exchanges — no shuffle, no join, no window — just scan +
+    project. This is the plan shape that makes the rule engine free at
+    10^12 rows (cost scales with bytes scanned, not with rule count)."""
+    plan = _plan(E.q_somef_nested_full(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_jsonld_assessments_single_projection(spark):
+    """The full reference-shaped JSON-LD document (shell + 27 evidence
+    templates) is likewise one shuffle-free projection per document."""
+    plan = _plan(E.q_somef_jsonld(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    """Each label-propagation round is a shuffle JOIN + aggregate — never
+    a cartesian/nested-loop product."""
+    from pyspark.sql import functions as F
+
+    from metacheck_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = D.dedup_clusters(pairs)
+    plan = _plan(labels)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    _ = F  # imported for parity with sibling tests
+
+
+def test_minhash_signature_hash_materialized(spark):
+    """The shingle hash feeds the 64 min-aggs as a materialized column —
+    exactly ONE xxhash64 in the aggregate subplan (codegen does not CSE
+    the subexpression across aggregates; recomputing it 64x was a 3.5x
+    slowdown)."""
+    from metacheck_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    plan = _optimized(sig)
+    assert plan.count("xxhash64") == 1
