@@ -415,6 +415,47 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, qvec, k=15, bits=6)
 
 
+def _lsh_topk_sql() -> str:
+    """DuckDB oracle for the sign-LSH bucketed ANN: the hyperplanes are
+    deterministic (seeded numpy, embedded as literals), so the oracle
+    recomputes every row's signature AND the query row's signature with
+    independent arithmetic, filters to the query bucket, and takes the
+    same cosine top-k. Testdata embeddings are 64-dim at every SF."""
+    from metacheck_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, bits=6, seed=42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            b, ", ".join(repr(float(x)) for x in p)
+        )
+        for b, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(b, p) AS (VALUES {rows}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sigs AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                  THEN 1 << pl.b ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+qsig AS (
+  SELECT sum(CASE WHEN list_dot_product(q.qv, pl.p) > 0
+                  THEN 1 << pl.b ELSE 0 END) AS s
+  FROM q CROSS JOIN planes pl
+)
+SELECT s.vec_id,
+       round(list_dot_product(s.v, q.qv) /
+             (sqrt(list_dot_product(s.v, s.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+FROM sigs s, q, qsig
+WHERE s.sig = qsig.s
+ORDER BY cos DESC, s.vec_id
+LIMIT 15
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cluster-probed ANN (rows-only; recall + full-probe==exact
     asserted in pytest)."""
@@ -1717,9 +1758,12 @@ def oracle_sql() -> dict[str, str]:
         # value oracle for it.
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "minhash_pairs": _NGRAM_JACCARD_SQL,
-        # simhash_pairs / lsh_topk: FNV / sign-LSH bucketing are not
+        "lsh_topk": _lsh_topk_sql(),
+        # simhash_pairs: pandas SipHash signatures are not
         # DuckDB-expressible -> rows-only driver check; recall+precision
-        # asserted against brute force in pytest.
+        # asserted against brute force in pytest. ivf_topk: the kmeans
+        # quantizer is iterative/driver-trained -> rows-only, full-probe
+        # == exact asserted in pytest.
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_doc_stats": _LANG_DOC_STATS_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
