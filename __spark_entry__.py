@@ -1330,14 +1330,10 @@ def q_somef_nested_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate implementations."""
     from metacheck_spark.rules import somef as M
 
+    from metacheck_spark.sources.jsonld_text import CODES as codes
+
     df = _nested_fixture_df(spark, sf_dir)
     flagged = M.nested_rule_flags(df, _NESTED_URL_STATUS)
-    codes = [
-        "P001", "P002", "W003", "W004", "P005", "P006", "P007", "P008",
-        "W010", "P011", "W012", "P013", "W014", "W015", "P016", "P017",
-        "P018", "P019", "P020", "W021", "P022", "P023", "P024", "P025",
-        "P026", "P027", "P028",
-    ]
     return flagged.select(
         "doc_id", *[F.col(f"hit_{c}").alias(c.lower()) for c in codes]
     )

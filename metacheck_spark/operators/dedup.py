@@ -105,11 +105,14 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 2,
     threshold: float = 0.6,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold. Quadratic — use only on
     bounded inputs (a bucket, a partition); the LSH operators below are
     the scale path that feeds bounded candidate sets into this check."""
-    sh = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).select(
+    sh = _fan_out(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), num_partitions
+    ).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -148,6 +151,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 2,
     seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures, fully native.
 
@@ -165,7 +169,10 @@ def minhash_signatures(
     Rows with zero shingles (empty/blank text) drop out — they have no
     candidate pairs by definition.
     """
-    src = _fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    src = _fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        num_partitions,
+    )
     # project the base shingle hash to a COLUMN before aggregating: the 64
     # min-expressions then reference one materialized value per row, rather
     # than relying on codegen CSE to fold 64 copies of xxhash64(g)
@@ -239,9 +246,11 @@ def bucketed_candidate_pairs(
                 "n_buckets"
             ),
             F.max("bsz").alias("max_bucket_size"),
-            F.sum(F.when(F.col("bsz") > max_bucket, 1).otherwise(0)).alias(
-                "star_routed_ids"
-            ),
+            F.sum(
+                F.when(
+                    (F.col("bsz") > max_bucket) & (F.col("id") != F.col("hub")), 1
+                ).otherwise(0)
+            ).alias("star_routed_ids"),
         )
     small = (
         annotated.filter(F.col("bsz") <= max_bucket)
@@ -264,11 +273,14 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 2,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs via banding: rows sharing any band
     signature. Shuffle volume = bands x rows small key/value pairs."""
     rows_per_band = num_hashes // bands
-    sh = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sh = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, num_partitions=num_partitions
+    )
     banded = sh.select(
         "id",
         F.explode(
@@ -294,6 +306,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 2,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the standard
     minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
@@ -303,9 +316,12 @@ def minhash_dedup_pairs(
     # self-join subplan (and its upstream signature aggregation) — the
     # standard LSH shape is generate-candidates once, then verify.
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        num_partitions=num_partitions,
     ).persist()
-    sh = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).select(
+    sh = _fan_out(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), num_partitions
+    ).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), shingle_n).alias("sh")
     )
     return (
@@ -357,12 +373,18 @@ def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def simhash_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
     4-way band split (pigeonhole: <=3 differing bits => at least one
     16-bit band identical), verified natively with bit_count(xor)."""
-    sh = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).select(
+    sh = _fan_out(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), num_partitions
+    ).select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
     )
     sh = sh.persist()  # feeds banding AND the signature-fetch verify join
@@ -492,5 +514,13 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — the "
+            "pair graph has a component with diameter beyond the cap "
+            "(e.g. a long drift chain); raise max_iters rather than "
+            "accepting a silently split cluster"
+        )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))

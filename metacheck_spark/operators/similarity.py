@@ -99,7 +99,12 @@ def signature_udf(planes: np.ndarray):
 
     @F.pandas_udf("long")
     def _sig(s: pd.Series) -> pd.Series:
-        x = np.array([list(v) for v in s], dtype=np.float64)
+        # null vectors -> all-zero rows -> signature 0, matching the
+        # native signature_col path (when(null > 0) falls to otherwise(0))
+        x = np.array(
+            [list(v) if v is not None else [0.0] * P.shape[1] for v in s],
+            dtype=np.float64,
+        )
         if x.size == 0:
             return pd.Series(np.zeros(len(s), dtype=np.int64), index=s.index)
         bits = (x @ P.T) > 0
@@ -152,6 +157,11 @@ def embedding_dup_pairs_bucketed(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # cache ownership note: the signature frame feeds banding AND the two
+    # verify joins; it stays persisted after return because the returned
+    # plan is lazy (nothing to unpersist against until the caller acts).
+    # Batch callers running many invocations should clearCache() between
+    # them (bench.py does).
     sig = v.withColumn("sig", signature("v", planes)).persist()
     banded = sig.select(
         "id",

@@ -25,9 +25,6 @@ from metacheck_spark.sources.jsonld_text import (  # noqa: F401
     SUMMARY_DESCRIPTIONS,
 )
 
-# --- literal tables (json_ld_utils.py:54-88, :313-354, :402-436) ------------
-
-
 
 
 
@@ -523,7 +520,7 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
     return ev
 
 
-TARGET_LANGUAGES = ["Python", "Java", "C++", "C", "R", "Rust"]
+TARGET_LANGUAGES = M.TARGET_LANGUAGES
 
 # The summary shell's own wording (detect_pitfalls_main.py:62-253) — a
 # THIRD description table, diverging from both json_ld_utils'
@@ -559,6 +556,30 @@ def extract_target_languages(langs_cat: Column) -> Column:
     )
 
 
+def language_extraction_crash(langs_cat: Column) -> Column:
+    """True where the reference main loop's language extraction raises —
+    a structured (non-string, truthy) language value hits .strip() in
+    normalize_language_name, and the per-FILE handler skips the document
+    entirely: no detectors run, no JSON-LD file, no summary contribution
+    beyond the total (detect_pitfalls_main.py:293-299, :361-363)."""
+
+    def _picked(e: Column) -> Column:
+        return F.coalesce(e["result"]["value"], e["result"]["name"])
+
+    return F.coalesce(
+        F.exists(
+            langs_cat,
+            lambda e: _picked(e).isNotNull()
+            & ~F.trim(_picked(e)).isin("", "[]", "{}")
+            & (
+                M._is_stringified_array(F.trim(_picked(e)))
+                | M._is_stringified_object(F.trim(_picked(e)))
+            ),
+        ),
+        F.lit(False),
+    )
+
+
 def corpus_summary(
     df: DataFrame, url_status_map: dict[str, int] | None = None
 ) -> dict:
@@ -572,26 +593,10 @@ def corpus_summary(
     for cat in M.CORPUS_CATEGORIES:
         if cat not in df.columns:
             df = df.withColumn(cat, F.array().cast(f"array<{M.ENTRY_DDL}>"))
-    # the reference extracts languages BEFORE running detectors, outside
-    # the per-detector try — a structured (non-string, truthy) language
-    # value crashes normalize_language_name and the per-FILE handler
-    # skips the document entirely (counted in the total, contributing to
-    # nothing else; detect_pitfalls_main.py:293-299, :361-363)
-    def _picked(e: Column) -> Column:
-        return F.coalesce(e["result"]["value"], e["result"]["name"])
-
-    lang_crash = F.exists(
-        F.col("programming_languages"),
-        lambda e: _picked(e).isNotNull()
-        & ~F.trim(_picked(e)).isin("", "[]", "{}")
-        & (
-            M._is_stringified_array(F.trim(_picked(e)))
-            | M._is_stringified_object(F.trim(_picked(e)))
-        ),
-    )
+    lang_crash = language_extraction_crash(F.col("programming_languages"))
     flagged = (
         M.nested_rule_flags(df, url_status_map)
-        .withColumn("_skip", F.coalesce(lang_crash, F.lit(False)))
+        .withColumn("_skip", lang_crash)
         .withColumn(
             "_langs",
             F.when(
@@ -730,6 +735,26 @@ def nested_assessments(
     for cat in M.CORPUS_CATEGORIES:
         if cat not in df.columns:
             df = df.withColumn(cat, F.array().cast(f"array<{M.ENTRY_DDL}>"))
+    # Document-level skips, applied BELOW the giant checks projection (a
+    # filter added ABOVE it makes Catalyst's CollapseProject inline the
+    # whole evidence expression tree into the predicate — minutes of
+    # single-core optimizer time):
+    # 1. the main loop's language extraction runs BEFORE the detectors; a
+    #    crash there skips the whole document (no JSON-LD file)
+    df = df.filter(~language_extraction_crash(F.col("programming_languages")))
+    # 2. the reference's identifier startswith probe crashes on a
+    #    structured first value -> document skipped
+    ident_early = _first_value(F.col("identifier"))
+    df = df.filter(
+        ~F.coalesce(
+            ident_early.isNotNull()
+            & (
+                M._is_stringified_array(F.trim(ident_early))
+                | M._is_stringified_object(F.trim(ident_early))
+            ),
+            F.lit(False),
+        )
+    )
     flagged = M.nested_rule_flags(df, url_status_map)
     ev = evidence_columns(url_status_map)
     checks = F.filter(
@@ -790,15 +815,8 @@ def nested_assessments(
         assessed_software(cols_present).alias("assessedSoftware"),
         checks.alias("checks"),
     )
-    # the reference's identifier startswith probe crashes on a structured
-    # first value -> whole document skipped
-    ident_crashes = ident.isNotNull() & (
-        M._is_stringified_array(F.trim(ident))
-        | M._is_stringified_object(F.trim(ident))
-    )
     return (
         flagged.withColumn("checks", checks)
         .filter(F.size("checks") > 0)
-        .filter(~F.coalesce(ident_crashes, F.lit(False)))
         .select(F.col("_file").alias("file"), F.to_json(doc).alias("assessment"))
     )

@@ -149,7 +149,7 @@ def test_oversized_bucket_star_routing(spark):
     m = obs.get
     assert m["n_buckets"] == 2
     assert m["max_bucket_size"] == 20
-    assert m["star_routed_ids"] == 20
+    assert m["star_routed_ids"] == 19  # hub excluded — it emits no pair row
 
 
 def test_signature_udf_matches_native_expr(spark):

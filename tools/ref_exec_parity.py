@@ -133,14 +133,11 @@ def spark_flags() -> dict[str, dict[str, bool]]:
     from metacheck_spark.rules.somef import CORPUS_CATEGORIES, nested_rule_flags
     from metacheck_spark.sources.readers import read_json_dir
 
-    entry = (
-        "struct<confidence:double, technique:string, source:string,"
-        " result:struct<type:string, value:string, name:string, tag:string,"
-        " version:string>>"
-    )
+    from metacheck_spark.rules.somef import ENTRY_DDL
+
     spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="refparity")
     schema = StructType.fromDDL(
-        ", ".join(f"{c} array<{entry}>" for c in CORPUS_CATEGORIES)
+        ", ".join(f"{c} array<{ENTRY_DDL}>" for c in CORPUS_CATEGORIES)
     )
     docs = read_json_dir(spark, CORPUS, schema, multiline=True).withColumn(
         "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)

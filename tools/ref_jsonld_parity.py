@@ -93,6 +93,8 @@ def reference_docs() -> dict[str, dict]:
         (main_mod.detect_raw_swhid_pitfall, "P028"),
     ]
 
+    from metacheck.utils.pitfall_utils import extract_programming_languages
+
     out: dict[str, dict] = {}
     for fp in sorted(glob.glob(os.path.join(CORPUS, "*.json"))):
         name = os.path.basename(fp)
@@ -100,6 +102,13 @@ def reference_docs() -> dict[str, dict]:
             with open(fp) as f:
                 somef_data = json.load(f)
         except (json.JSONDecodeError, UnicodeDecodeError):
+            continue
+        # the main loop extracts languages BEFORE the detectors; a crash
+        # there hits the per-FILE handler and skips the document entirely
+        # (detect_pitfalls_main.py:293-299)
+        try:
+            extract_programming_languages(somef_data)
+        except Exception:
             continue
         results = []
         for fn, code in pairs:
