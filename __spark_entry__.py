@@ -311,6 +311,58 @@ SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup through the REAL Structured Streaming path:
+    the seeded-copies corpus written as a file source, read with
+    readStream, deduplicated by the applyInPandasWithState operator
+    (streaming/incremental.py — first arrival per fingerprint wins,
+    exactly-once across micro-batches), drained with Trigger.AvailableNow
+    into a parquet sink, then read back as a batch frame.
+
+    The output surface is (fp, caption): which duplicate's doc_id
+    survives depends on arrival order inside the shuffle (legitimately
+    nondeterministic), but the fingerprint set and the caption per
+    fingerprint are exact — and SQL-checkable (seeded copies are
+    byte-identical, so min(text) per fingerprint group is THE text)."""
+    import tempfile
+
+    from metacheck_spark.streaming.incremental import stateful_stream_dedup
+
+    base = _with_exact_copies(spark, sf_dir).sort("doc_id").coalesce(1)
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    outd = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    base.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags = stream.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    q = (
+        stateful_stream_dedup(flags)
+        .writeStream.format("parquet")
+        .option("path", outd)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outd).select("fp", "caption")
+
+
+_STREAMING_DEDUP_SQL = f"""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(text) AS caption
+FROM ({_EXACT_COPIES_SQL})
+GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only driver check; recall/precision vs
     brute-force Jaccard asserted in tests/test_dedup_similarity.py)."""
@@ -1704,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "streaming_dedup": q_streaming_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
@@ -1753,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         # pairs — equals the brute-force pair set: the same SQL is a
         # value oracle for it.
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "streaming_dedup": _STREAMING_DEDUP_SQL,
         "minhash_pairs": _NGRAM_JACCARD_SQL,
         "lsh_topk": _lsh_topk_sql(),
         # simhash_pairs: pandas SipHash signatures are not
