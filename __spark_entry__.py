@@ -224,7 +224,8 @@ FROM documents WHERE doc_id % 7 = 0 AND doc_id < 150
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
-        _with_near_dups(spark, sf_dir), "text", "doc_id", n=2, threshold=0.8
+        _with_near_dups(spark, sf_dir), "text", "doc_id", n=2, threshold=0.8,
+        num_partitions="auto",
     )
 
 
@@ -266,7 +267,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra token extra token")).alias("text"),
     )
     base = d.unionAll(v1).unionAll(v2)
-    pairs = D.ngram_jaccard_pairs(base, "text", "doc_id", n=2, threshold=0.8)
+    pairs = D.ngram_jaccard_pairs(
+        base, "text", "doc_id", n=2, threshold=0.8, num_partitions="auto"
+    )
     return D.dedup_clusters(pairs)
 
 
@@ -364,16 +367,22 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only driver check; recall/precision vs
-    brute-force Jaccard asserted in tests/test_dedup_similarity.py)."""
+    """MinHash+LSH near-dup — hash-checked oracle: LSH at threshold 0.8 on
+    this corpus has recall 1.0 (asserted vs brute force in
+    tests/test_dedup_similarity.py), so the VERIFIED output equals the
+    brute-force word-2gram Jaccard pair set and shares its SQL oracle."""
     return D.minhash_dedup_pairs(
-        _with_near_dups(spark, sf_dir), "text", "doc_id", threshold=0.8
+        _with_near_dups(spark, sf_dir), "text", "doc_id", threshold=0.8,
+        num_partitions="auto",
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only driver check; verified in pytest)."""
-    return D.simhash_dup_pairs(_with_near_dups(spark, sf_dir), "text", "doc_id")
+    """SimHash near-dup (rows-only driver check — the pandas SipHash
+    signatures are not DuckDB-expressible; verified in pytest)."""
+    return D.simhash_dup_pairs(
+        _with_near_dups(spark, sf_dir), "text", "doc_id", num_partitions="auto"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -460,8 +469,10 @@ LIMIT 15
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (rows-only driver check; recall vs brute
-    force asserted in pytest)."""
+    """Sign-LSH bucketed ANN — hash-checked oracle (_lsh_topk_sql embeds
+    the seeded hyperplanes as literals and recomputes every signature +
+    the bucket filter independently); recall vs brute force additionally
+    asserted in pytest."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return S.lsh_topk(emb, qvec, k=15, bits=6)
@@ -573,13 +584,19 @@ GROUP BY n_name
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the JSON extraction as a column BEFORE the aggregation:
+    # codegen does not CSE shared subexpressions across aggregate exprs
+    # (the repo's own minhash finding), so referencing `k` in both the sum
+    # and the count branch would parse the JSON twice per row
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    k = F.get_json_object("props", "$.k").cast("long")
     return (
-        ev.groupBy("event_type")
+        ev.select(
+            "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("event_type")
         .agg(
-            F.sum(k).alias("sum_k"),
-            F.count(F.when(k > 50, 1)).alias("n_large"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_large"),
         )
     )
 

@@ -174,11 +174,17 @@ def main() -> None:
         "exact_dedup": lambda: run_noop(
             D.exact_dedup(docs, "text", "doc_id")
         ),
+        # num_partitions="auto": the bench corpus is a handful of parquet
+        # splits, so the ~100x-per-row shingle/signature stages need the
+        # explicit fan-out (the operators no longer repartition by default
+        # — a production table arrives well-partitioned).
         "minhash_dedup": lambda: run_noop(
-            D.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
+            D.minhash_dedup_pairs(
+                docs, "text", "doc_id", threshold=0.8, num_partitions="auto"
+            )
         ),
         "simhash_dedup": lambda: run_noop(
-            D.simhash_dup_pairs(docs, "text", "doc_id")
+            D.simhash_dup_pairs(docs, "text", "doc_id", num_partitions="auto")
         ),
         "cosine_topk": lambda: E.q_cosine_topk(spark, SF_DIR).collect(),
         "lsh_topk": lambda: E.q_lsh_topk(spark, SF_DIR).collect(),

@@ -27,18 +27,23 @@ def normalized_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def _fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Repartition to the cluster's parallelism — shingle/signature stages
-    multiply work ~100x per row, so an under-partitioned source serializes
-    them, and the repartitioned frame is a 2-column projection whose
-    shuffle is negligible next to that work. Pass num_partitions=0 to
-    skip (a production-scale table already has >> cores partitions), or a
-    positive count to override. No RDD partition probe: that breaks
-    under Spark Connect and forces plan conversion."""
-    if num_partitions == 0:
+def _fan_out(df: DataFrame, num_partitions: int | str | None = None) -> DataFrame:
+    """Optional pre-shingle repartition. Default (None) is NO repartition:
+    a production-scale table already arrives well-partitioned, and silently
+    coalescing it down to #cores would add a full extra shuffle on every
+    dedup call. Pass "auto" to fan out to the cluster's defaultParallelism
+    — right for small or few-split local sources feeding the shingle/
+    signature stages, which multiply work ~100x per row, so an
+    under-partitioned source serializes them while the repartitioned frame
+    is a 2-column projection whose shuffle is negligible next to that work.
+    A positive int overrides the target. No RDD partition probe to guess
+    for the caller: that breaks under Spark Connect and forces plan
+    conversion, so the choice is explicit."""
+    if num_partitions in (None, 0):
         return df
-    target = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target)
+    if num_partitions == "auto":
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(int(num_partitions))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -105,7 +110,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 2,
     threshold: float = 0.6,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold. Quadratic — use only on
     bounded inputs (a bucket, a partition); the LSH operators below are
@@ -151,7 +156,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 2,
     seed: int = 42,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures, fully native.
 
@@ -273,7 +278,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 2,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs via banding: rows sharing any band
     signature. Shuffle volume = bands x rows small key/value pairs."""
@@ -306,7 +311,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 2,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the standard
     minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
@@ -377,7 +382,7 @@ def simhash_dup_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
     4-way band split (pigeonhole: <=3 differing bits => at least one

@@ -141,7 +141,12 @@ def embedding_dup_pairs_bucketed(
     verification. Reuses the LSH bucket-join machinery of
     operators/dedup.py — one narrow shuffle per band, never O(n^2).
     Exact duplicates always share every band, so recall on true copies
-    is 1.0 by construction."""
+    is 1.0 whenever at least one shared bucket is <= max_bucket or the
+    bucket's hub (min id) is itself a cluster member — in the oversized-
+    bucket regime candidates are star pairs around the hub, so a copy
+    pair hiding behind a non-duplicate hub in EVERY shared bucket would
+    be missed (same honest boilerplate-cluster framing as
+    bucketed_candidate_pairs)."""
     from metacheck_spark.operators.dedup import bucketed_candidate_pairs
 
     assert bits % bands == 0, "bits must divide into equal bands"
