@@ -326,7 +326,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives depends on arrival order inside the shuffle (legitimately
     nondeterministic), but the fingerprint set and the caption per
     fingerprint are exact — and SQL-checkable (seeded copies are
-    byte-identical, so min(text) per fingerprint group is THE text)."""
+    byte-identical, so min(text) per fingerprint group is THE text).
+
+    Gate plumbing, not operator semantics: the drained sink (500 rows at
+    gate scale) is re-materialized as a local frame so the three temp
+    dirs (source, sink, checkpoint) can be removed before returning —
+    production leaves the sink in place as the output table."""
+    import shutil
     import tempfile
 
     from metacheck_spark.streaming.incremental import stateful_stream_dedup
@@ -335,27 +341,32 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stream_src_")
     outd = tempfile.mkdtemp(prefix="stream_out_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    base.write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    flags = stream.select(
-        F.col("doc_id").cast("string").alias("image_id"),
-        F.col("text").alias("caption"),
-    )
-    q = (
-        stateful_stream_dedup(flags)
-        .writeStream.format("parquet")
-        .option("path", outd)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(outd).select("fp", "caption")
+    try:
+        base.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        flags = stream.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.col("text").alias("caption"),
+        )
+        q = (
+            stateful_stream_dedup(flags)
+            .writeStream.format("parquet")
+            .option("path", outd)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.read.parquet(outd).select("fp", "caption").toPandas()
+        return spark.createDataFrame(pdf, schema="fp string, caption string")
+    finally:
+        for d in (src, outd, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 _STREAMING_DEDUP_SQL = f"""

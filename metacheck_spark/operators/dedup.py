@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from metacheck_spark.caching import CacheRegistry, persist_owned
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -312,18 +314,23 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 2,
     num_partitions: int | str | None = None,
+    caches: CacheRegistry | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the standard
     minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
-    join -> verify)."""
+    join -> verify). Pass a CacheRegistry as `caches` to own the release
+    of the persisted candidate frame (caching.py)."""
     # Persist the candidate pairs: they feed two verification joins, and
     # without materialization each join re-executes the whole banded
     # self-join subplan (and its upstream signature aggregation) — the
     # standard LSH shape is generate-candidates once, then verify.
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n,
-        num_partitions=num_partitions,
-    ).persist()
+    cands = persist_owned(
+        minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_n,
+            num_partitions=num_partitions,
+        ),
+        caches,
+    )
     sh = _fan_out(
         df.select(F.col(id_col).alias(id_col), F.col(text_col)), num_partitions
     ).select(
@@ -383,16 +390,19 @@ def simhash_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     num_partitions: int | str | None = None,
+    caches: CacheRegistry | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
     4-way band split (pigeonhole: <=3 differing bits => at least one
-    16-bit band identical), verified natively with bit_count(xor)."""
+    16-bit band identical), verified natively with bit_count(xor).
+    Pass `caches` to own the persisted signature frame's release."""
     sh = _fan_out(
         df.select(F.col(id_col).alias(id_col), F.col(text_col)), num_partitions
     ).select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
     )
-    sh = sh.persist()  # feeds banding AND the signature-fetch verify join
+    # feeds banding AND the signature-fetch verify join
+    sh = persist_owned(sh, caches)
     banded = sh.select(
         "id",
         F.explode(
@@ -465,6 +475,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    caches: CacheRegistry | None = None,
 ) -> DataFrame:
     """(id, cluster_id) connected components over near-dup pairs — the
     step an actual dedup needs beyond pair emission: "keep one doc per
@@ -480,7 +491,8 @@ def dedup_clusters(
     dedup clusters (near-cliques, or stars around a hub) is 1-2; the
     default cap is far above any real corpus. Label state is persisted
     per round and the previous round unpersisted, so memory is O(V)
-    regardless of iteration count.
+    regardless of iteration count. The FINAL labels frame stays persisted
+    (the caller's action reads it); pass `caches` to own its release.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionAll(
@@ -528,4 +540,6 @@ def dedup_clusters(
             "accepting a silently split cluster"
         )
     edges.unpersist()
+    if caches is not None:
+        caches.adopt(labels)
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -134,6 +134,7 @@ def embedding_dup_pairs_bucketed(
     dim: int | None = None,
     seed: int = 42,
     max_bucket: int = 1000,
+    caches=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: sign-LSH banding for candidate
     generation (pairs sharing ANY band of the signature — multi-band
@@ -161,13 +162,15 @@ def embedding_dup_pairs_bucketed(
     planes = hyperplanes(dim, bits, seed)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    from metacheck_spark.caching import persist_owned
+
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # cache ownership note: the signature frame feeds banding AND the two
-    # verify joins; it stays persisted after return because the returned
-    # plan is lazy (nothing to unpersist against until the caller acts).
-    # Batch callers running many invocations should clearCache() between
-    # them (bench.py does).
-    sig = v.withColumn("sig", signature("v", planes)).persist()
+    # cache ownership: the signature frame feeds banding AND the two
+    # verify joins; it must stay persisted until the caller's action runs
+    # (the returned plan is lazy). Pass a CacheRegistry as `caches` to
+    # release it afterwards; without one it stays persisted after return
+    # (bench.py's clearCache-per-pass discipline handles that there).
+    sig = persist_owned(v.withColumn("sig", signature("v", planes)), caches)
     banded = sig.select(
         "id",
         F.explode(

@@ -1,0 +1,88 @@
+"""Cache/temp-resource ownership (VERDICT round-2 ask #5): every operator
+that persist()s intermediates must release them through the CacheRegistry
+surface, leaving zero cached relations in executor storage after the
+caller's action completes; the streaming gate query must not leak its
+temp dirs."""
+
+import glob
+import tempfile
+
+from pyspark.sql import functions as F
+
+from metacheck_spark.caching import CacheRegistry, cached_rdd_count
+from metacheck_spark.operators import dedup as D
+from metacheck_spark.operators import similarity as S
+
+
+def _docs(spark, n=80):
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta token "),
+            (F.col("id") % 17).cast("string"),
+            F.lit(" eta theta iota kappa"),
+        ).alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    return base.unionAll(dups)
+
+
+def _vecs(spark, n=60, dim=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") % 7 + i).cast("double") for i in range(dim)]
+        ).alias("embedding"),
+    )
+
+
+def _assert_clean(spark, fn):
+    spark.catalog.clearCache()
+    assert cached_rdd_count(spark) == 0
+    with CacheRegistry() as caches:
+        df = fn(caches)
+        df.count()  # the caller's action, with the operator's caches hot
+        assert cached_rdd_count(spark) > 0, "operator should persist"
+    assert cached_rdd_count(spark) == 0, "registry exit must release all"
+
+
+def test_minhash_releases_caches(spark):
+    _assert_clean(
+        spark,
+        lambda c: D.minhash_dedup_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.8, caches=c
+        ),
+    )
+
+
+def test_simhash_releases_caches(spark):
+    _assert_clean(
+        spark,
+        lambda c: D.simhash_dup_pairs(_docs(spark), "text", "doc_id", caches=c),
+    )
+
+
+def test_embedding_bucketed_releases_caches(spark):
+    _assert_clean(
+        spark,
+        lambda c: S.embedding_dup_pairs_bucketed(
+            _vecs(spark), "embedding", "vec_id", threshold=0.99, caches=c
+        ),
+    )
+
+
+def test_dedup_clusters_releases_caches(spark):
+    pairs = D.ngram_jaccard_pairs(_docs(spark), "text", "doc_id", 2, 0.9)
+    _assert_clean(spark, lambda c: D.dedup_clusters(pairs, caches=c))
+
+
+def test_streaming_dedup_cleans_temp_dirs(spark):
+    import __spark_entry__ as E
+
+    pat = tempfile.gettempdir() + "/stream_*"
+    before = set(glob.glob(pat))
+    out = E.q_streaming_dedup(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0  # result survives the cleanup (materialized)
+    assert set(glob.glob(pat)) == before, "q_streaming_dedup leaked temp dirs"
