@@ -531,12 +531,100 @@ LIMIT 15
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cluster-probed ANN (rows-only; recall + full-probe==exact
-    asserted in pytest)."""
+    """IVF cluster-probed ANN — hash-checked oracle: the quantizer
+    training is deterministic and engine-portable (ordered sample,
+    evenly-spaced-rank init, lowest-index tie-breaks — similarity.py:
+    train_centroids), so _ivf_topk_sql retrains the SAME kmeans with ten
+    unrolled Lloyd iterations in pure DuckDB SQL and independently
+    recomputes assignment, probe selection, and the in-probe cosine
+    top-k. Recall + full-probe==exact additionally asserted in pytest."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     cent = S.train_centroids(emb, n_clusters=8)
     return S.ivf_topk(S.assign_clusters(emb, cent), qvec, cent, k=15, nprobe=3)
+
+
+def _ivf_topk_sql(n_clusters: int = 8, iters: int = 10, sample: int = 4096,
+                  nprobe: int = 3, k: int = 15, dim: int = 64) -> str:
+    """DuckDB oracle for the IVF index: retrains the coarse quantizer
+    from scratch in SQL (no literals smuggled from the Spark side) —
+    Lloyd's kmeans on the cosine sphere, unrolled `iters` times:
+    assignment = row_number over dot DESC / cluster ASC (numpy argmax's
+    first-max), new centroid = L2-normalized elementwise mean, empty
+    clusters keep the previous centroid via LEFT JOIN + coalesce. Then
+    assigns ALL rows to the final centroids, picks the nprobe nearest
+    centroids to the query row (vec_id 0), and takes the in-probe cosine
+    top-k on the RAW vectors — each step the independent recomputation of
+    similarity.py's train_centroids/assign_clusters/ivf_topk."""
+    norm = (
+        "list_transform({e}, y -> y / greatest(sqrt(list_dot_product({e}, {e})),"
+        " 1e-12))"
+    )
+    parts = [f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, {norm.format(e='e')} AS v
+  FROM (SELECT vec_id, e FROM raw ORDER BY vec_id LIMIT {sample})
+),
+nn AS (SELECT count(*) AS n FROM samp),
+ranked AS MATERIALIZED (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM samp
+),
+cent0 AS MATERIALIZED (
+  SELECT t.i AS c, r.v
+  FROM range(0, {n_clusters}) t(i) CROSS JOIN nn
+  JOIN ranked r ON r.rk = (t.i * nn.n) // {n_clusters}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, v, c FROM (
+    SELECT s.vec_id, s.v, ct.c,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_dot_product(s.v, ct.v) DESC, ct.c) AS rn
+    FROM samp s CROSS JOIN cent{i - 1} ct) WHERE rn = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT c, list(mv ORDER BY j) AS m FROM (
+    SELECT a.c, t.j, avg(a.v[t.j]) AS mv
+    FROM a{i} a CROSS JOIN range(1, {dim + 1}) t(j)
+    GROUP BY a.c, t.j) GROUP BY c
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.c,
+         coalesce({norm.format(e='m.m')}, p.v) AS v
+  FROM cent{i - 1} p LEFT JOIN m{i} m ON p.c = m.c
+)""")
+    parts.append(f""",
+allx AS MATERIALIZED (SELECT vec_id, {norm.format(e='e')} AS v FROM raw),
+assign AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT x.vec_id, ct.c,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_dot_product(x.v, ct.v) DESC, ct.c) AS rn
+    FROM allx x CROSS JOIN cent{iters} ct) WHERE rn = 1
+),
+q AS (SELECT e AS qv FROM raw WHERE vec_id = 0),
+probes AS MATERIALIZED (
+  SELECT c FROM (
+    SELECT ct.c,
+           row_number() OVER (ORDER BY list_dot_product(ct.v, {norm.format(e='q.qv')})
+                              DESC, ct.c) AS rn
+    FROM cent{iters} ct CROSS JOIN q) WHERE rn <= {nprobe}
+)
+SELECT r.vec_id,
+       round(list_dot_product(r.e, q.qv) /
+             (sqrt(list_dot_product(r.e, r.e)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+FROM raw r
+JOIN assign a ON a.vec_id = r.vec_id
+CROSS JOIN q
+WHERE a.c IN (SELECT c FROM probes)
+ORDER BY cos DESC, r.vec_id
+LIMIT {k}""")
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -1837,11 +1925,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "minhash_pairs": _NGRAM_JACCARD_SQL,
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         # simhash_pairs: pandas SipHash signatures are not
         # DuckDB-expressible -> rows-only driver check; recall+precision
-        # asserted against brute force in pytest. ivf_topk: the kmeans
-        # quantizer is iterative/driver-trained -> rows-only, full-probe
-        # == exact asserted in pytest.
+        # asserted against brute force in pytest.
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_doc_stats": _LANG_DOC_STATS_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,

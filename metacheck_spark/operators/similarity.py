@@ -211,19 +211,28 @@ def train_centroids(
     n_clusters: int = 16,
     iters: int = 10,
     sample: int = 4096,
-    seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Lloyd's kmeans on a bounded driver-side sample — the coarse
-    quantizer of an IVF index is always trained on a sample (centroids are
-    tiny; only they ship back to executors). Deterministic for fixed seed."""
-    rows = df.select(vec_col).limit(sample).collect()
-    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    """Lloyd's kmeans (cosine) on a bounded driver-side sample — the
+    coarse quantizer of an IVF index is always trained on a sample
+    (centroids are tiny; only they ship back to executors).
+
+    Fully deterministic AND engine-portable, so the driver oracle
+    (_ivf_topk_sql in __spark_entry__) can retrain the quantizer
+    independently in SQL: the sample is the `sample` smallest-id rows
+    (TakeOrderedAndProject — per-partition top-k, no full sort), init
+    centroids are the rows at evenly spaced ranks of that ordered sample
+    (no RNG), argmax ties resolve to the lowest cluster index, and an
+    empty cluster keeps its previous centroid."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.Generator(np.random.PCG64(seed))
-    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    n = len(x)
+    k = min(n_clusters, n)
+    cent = x[[(i * n) // k for i in range(k)]].copy()
     for _ in range(iters):
         sims = x @ cent.T
-        assign = sims.argmax(axis=1)
+        assign = sims.argmax(axis=1)  # ties -> lowest cluster index
         for c in range(len(cent)):
             members = x[assign == c]
             if len(members):
@@ -269,7 +278,9 @@ def ivf_topk(
     (assign_clusters at ingest)."""
     q = np.array(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(c) for c in (centroids @ q).argsort()[::-1][:nprobe]]
+    # stable descending sort: ties resolve to the lowest cluster index,
+    # matching the SQL oracle's ORDER BY dot DESC, c
+    probes = [int(c) for c in np.argsort(-(centroids @ q), kind="stable")[:nprobe]]
     qlit = _query_lit(query_vec)
     return (
         df.filter(F.col(cluster_col).isin(probes))
