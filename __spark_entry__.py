@@ -377,6 +377,107 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 """
 
 
+def _seeded_hits_col() -> F.Column:
+    """Deterministic per-event rule-hit arrays (the flag-stream shape
+    windowed_hit_counts consumes), seeded from event_id residues so both
+    engines build identical inputs."""
+    empty = F.array().cast("array<string>")
+    return F.concat(
+        F.when(F.col("event_id") % 3 == 0, F.array(F.lit("P001"))).otherwise(empty),
+        F.when(F.col("event_id") % 4 == 0, F.array(F.lit("W010"))).otherwise(empty),
+        F.when(F.col("event_id") % 5 == 0, F.array(F.lit("P020"))).otherwise(empty),
+    )
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window per-rule hit counts through the REAL
+    Structured Streaming path (streaming/incremental.py:
+    windowed_hit_counts): the events table with seeded rule_hits is
+    written as a file source, read with readStream, aggregated into
+    5-minute event-time windows under a 10-minute watermark, and drained
+    with Trigger.AvailableNow into a parquet sink.
+
+    Append mode only emits a window once the watermark passes its end, so
+    two far-future SENTINEL files are appended after the data file; with
+    maxFilesPerTrigger=1 they land in later micro-batches, advancing the
+    watermark past every real window so each is closed and emitted. The
+    sentinel rows carry rule_hits=['SENTINEL'] — an EMPTY array does not
+    work: the explode eliminates the row before the event-time stats are
+    collected, so empty sentinels never advance the watermark (verified
+    against the batch progress log) — and whichever sentinel windows get
+    flushed are filtered back out of the drained sink. Tumbling windows
+    over complete data are batch-equivalent, which is exactly what makes
+    the result SQL-checkable against a DuckDB time_bucket oracle over the
+    same seeded events.
+
+    Same gate plumbing as q_streaming_dedup: the drained sink is
+    re-materialized so the temp dirs can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from metacheck_spark.streaming.incremental import windowed_hit_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flags = ev.select("ts", _seeded_hits_col().alias("rule_hits"))
+    src = tempfile.mkdtemp(prefix="streamw_src_")
+    outd = tempfile.mkdtemp(prefix="streamw_out_")
+    ckpt = tempfile.mkdtemp(prefix="streamw_ckpt_")
+    try:
+        flags.coalesce(1).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).head()[0]
+        for days in (30, 60):  # two sentinel batches: advance + flush
+            spark.createDataFrame(
+                [(max_ts + __import__("datetime").timedelta(days=days), ["SENTINEL"])],
+                schema="ts timestamp, rule_hits array<string>",
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, rule_hits array<string>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            windowed_hit_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", outd)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        pdf = (
+            spark.read.parquet(outd)
+            .filter(F.col("code") != "SENTINEL")
+            .toPandas()
+        )
+        return spark.createDataFrame(
+            pdf,
+            schema="win_start timestamp, win_end timestamp, code string,"
+                   " count bigint",
+        )
+    finally:
+        for d in (src, outd, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_STREAMING_WINDOWS_SQL = """
+WITH seeded AS (
+  SELECT ts,
+         (CASE WHEN event_id % 3 = 0 THEN ['P001'] ELSE [] END) ||
+         (CASE WHEN event_id % 4 = 0 THEN ['W010'] ELSE [] END) ||
+         (CASE WHEN event_id % 5 = 0 THEN ['P020'] ELSE [] END) AS hits
+  FROM events
+),
+exploded AS (SELECT ts, unnest(hits) AS code FROM seeded)
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+       time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS win_end,
+       code,
+       count(*) AS count
+FROM exploded
+GROUP BY 1, 2, 3
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup — hash-checked oracle: LSH at threshold 0.8 on
     this corpus has recall 1.0 (asserted vs brute force in
@@ -1873,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_windows": q_streaming_windows,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
@@ -1923,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
         # value oracle for it.
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
+        "streaming_windows": _STREAMING_WINDOWS_SQL,
         "minhash_pairs": _NGRAM_JACCARD_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
