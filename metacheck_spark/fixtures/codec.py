@@ -1,21 +1,27 @@
-"""Deterministic image codecs for the sandbox — stdlib only (no PIL in the
-container, per the environment constraints).
+"""Deterministic image codecs for the sandbox — stdlib + numpy only (no
+PIL in the container, per the environment constraints).
 
 * PNG: real, spec-conformant encode/decode (zlib + filter-0 scanlines) —
   lossless, so decoded-pixel allclose is exact.
-* "JPEG": the container has no JPEG library, so the lossy path is a
-  DETERMINISTIC FAKE, clearly marked: a JFIF-like wrapper (real JPEG
-  SOI/APP0 magic bytes so magic-sniffing is realistic) around
-  uniform-quantized zlib-compressed RGB. Quantization step 4 yields
-  PSNR ≈ 47 dB vs the source pixels — above the 40 dB target for lossy
-  formats (BASELINE.json input_hint) — while keeping all Spark-side
-  plumbing (binary column, header dim parse, decode UDF batch shape) real.
+* REAL JPEG: fixtures/jfif.py implements baseline sequential JFIF
+  (T.81 DCT + canonical Huffman + byte stuffing; decoder handles 4:4:4 /
+  4:2:2 / 4:2:0, stream-read DQT/DHT, restart markers). This is the
+  lossy format the PSNR >= 40 dB target (BASELINE.json input_hint) is
+  exercised against. Recognized by the 'JFIF' APP0 identifier.
+* FAKE "JPEG" (legacy, kept for the pre-existing fixture slice and
+  clearly marked): a JFIF-like wrapper (real SOI/APP0 magic so
+  magic-sniffing is realistic) around uniform-quantized zlib RGB,
+  PSNR ≈ 47 dB. Distinguished from real JFIF by the APP0 bytes: real
+  streams carry 'JFIF\\x00' at offset 6, the fake carries its big-endian
+  width there.
 
 Header layouts (parsed natively in Spark via substring()/conv() on the
-binary column — see pipeline.binary_rule_cols):
+binary column — see pipeline.binary_sanity_cols):
 
   PNG : [8B signature][4B len]['IHDR'][4B width BE][4B height BE]...
         width at byte offset 16, height at 20 (PNG spec, public).
+  REAL JFIF: fixed segment order SOI/APP0/DQTx2/SOF0 puts the SOF0
+        height at byte offset 163 (BE16) and width at 165 (jfif.py).
   FAKE-JPEG: [FF D8 FF E0][4B width BE][4B height BE][zlib RGB][FF D9]
         width at byte offset 4, height at 8.
 """
@@ -67,9 +73,15 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
     )
 
 
+def is_real_jfif(b: bytes | None) -> bool:
+    """Real JFIF streams carry the 'JFIF\\x00' APP0 identifier at byte 6;
+    the fake wrapper carries its width bytes there."""
+    return b is not None and len(b) >= 11 and b[:3] == b"\xff\xd8\xff" and b[6:10] == b"JFIF"
+
+
 def sniff_format(b: bytes | None) -> str | None:
     """Magic-byte format sniff — the Spark-native dual lives in
-    pipeline.binary_rule_cols (substring on the binary column)."""
+    pipeline.binary_sanity_cols (substring on the binary column)."""
     if b is None:
         return None
     if b[:8] == PNG_SIG:
@@ -86,6 +98,14 @@ def header_dims(b: bytes | None) -> tuple[int, int] | None:
     if b[:8] == PNG_SIG and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
         return (w, h)
+    if is_real_jfif(b):
+        from metacheck_spark.fixtures import jfif
+
+        if len(b) >= jfif.SOF_WIDTH_OFFSET + 2:
+            (h,) = struct.unpack(">H", b[jfif.SOF_HEIGHT_OFFSET : jfif.SOF_HEIGHT_OFFSET + 2])
+            (w,) = struct.unpack(">H", b[jfif.SOF_WIDTH_OFFSET : jfif.SOF_WIDTH_OFFSET + 2])
+            return (w, h)
+        return None
     if b[:3] == b"\xff\xd8\xff" and len(b) >= 12:
         w, h = struct.unpack(">II", b[4:12])
         return (w, h)
@@ -93,12 +113,17 @@ def header_dims(b: bytes | None) -> tuple[int, int] | None:
 
 
 def decode(b: bytes | None) -> np.ndarray | None:
-    """Decode PNG or fake-JPEG to RGB uint8 (h, w, 3); None on failure."""
+    """Decode PNG, real JFIF, or fake-JPEG to RGB uint8 (h, w, 3); None on
+    failure."""
     if b is None:
         return None
     try:
         if b[:8] == PNG_SIG:
             return _png_decode(b)
+        if is_real_jfif(b):
+            from metacheck_spark.fixtures import jfif
+
+            return jfif.jfif_decode(b)
         if b[:3] == b"\xff\xd8\xff":
             return _jpeg_decode(b)
     except Exception:

@@ -15,8 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from metacheck_spark.fixtures import codec
+from metacheck_spark.fixtures import codec, jfif
 from metacheck_spark.functions.langid import LANGS, LEXICONS
+
+# fraction boundaries of the fmt draw: <0.6 png, <0.9 fake-jpeg (legacy
+# marked codec), else REAL baseline JFIF (fixtures/jfif.py)
+JFIF_QUALITY = 95
 
 DIM_CHOICES = [16, 24, 32, 48, 64]  # kept small for sandbox speed; the
 # schema/codecs support any size (FIXTURES.md specifies up to 512)
@@ -130,13 +134,39 @@ def _base_caption(rng, lang: str, n_words: int) -> str:
     return " ".join(words[int(j)] for j in idx)
 
 
+def _smooth_pixels(arr: np.ndarray, i: int) -> np.ndarray:
+    """Low-frequency deterministic content for the REAL-JFIF slice: a real
+    DCT codec cannot hold 40 dB on uniform noise at sane qualities (noise
+    is the pathological case the fake codec sidestepped), so the real
+    slice carries photograph-like smooth content — two-phase sinusoids
+    per channel plus +-2 texture reused from the already-drawn noise array
+    (no extra rng draws, keeping every other row byte-identical)."""
+    h, w, _ = arr.shape
+    yy = np.arange(h)[:, None].astype(np.float64)
+    xx = np.arange(w)[None, :].astype(np.float64)
+    chans = []
+    for c in range(3):
+        ph = (i % 11) / 11.0 * 2.0 * np.pi + 2.1 * c
+        chans.append(
+            128.0
+            + 96.0 * np.sin(2.0 * np.pi * xx / w + ph)
+            * np.cos(2.0 * np.pi * yy / h + 0.7 * c)
+        )
+    base = np.round(np.stack(chans, axis=2))
+    mild = (arr.astype(np.int16) % 5) - 2
+    return np.clip(base + mild, 0, 255).astype(np.uint8)
+
+
 def source_pixels(i: int, seed: int = 42) -> np.ndarray:
     """The pre-encode source array for row i — same draw order as gen_row,
     used by tests for the decoded-pixel PSNR invariant."""
     rng = np.random.Generator(np.random.PCG64(seed + i))
     w = int(DIM_CHOICES[int(rng.integers(0, len(DIM_CHOICES)))])
     h = int(DIM_CHOICES[int(rng.integers(0, len(DIM_CHOICES)))])
-    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if rng.random() >= 0.9:  # the real-JFIF slice (same draw as gen_row)
+        arr = _smooth_pixels(arr, i)
+    return arr
 
 
 def gen_row(i: int, seed: int = 42) -> dict:
@@ -147,8 +177,17 @@ def gen_row(i: int, seed: int = 42) -> dict:
     w = int(DIM_CHOICES[int(rng.integers(0, len(DIM_CHOICES)))])
     h = int(DIM_CHOICES[int(rng.integers(0, len(DIM_CHOICES)))])
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    fmt = "png" if rng.random() < 0.6 else "jpeg"
-    b = codec.png_encode(arr) if fmt == "png" else codec.jpeg_encode(arr)
+    fr = rng.random()
+    if fr < 0.6:
+        fmt = "png"
+        b = codec.png_encode(arr)
+    elif fr < 0.9:
+        fmt = "jpeg"  # legacy marked fake codec
+        b = codec.jpeg_encode(arr)
+    else:
+        fmt = "jpeg"  # REAL baseline JFIF over smooth content
+        arr = _smooth_pixels(arr, i)
+        b = jfif.jfif_encode(arr, quality=JFIF_QUALITY)
     phash = codec.average_phash(codec.decode(b))
 
     # --- controlled corruptions (sanity-rule triggers) ---

@@ -45,6 +45,10 @@ from metacheck_spark.rules.registry import REGISTRY, TEXT_RULES
 
 _PNG_MAGIC_HEX = "89504E470D0A1A0A"
 _JPG_MAGIC_HEX = "FFD8FF"
+_JFIF_ID_HEX = "4A464946"  # 'JFIF' at byte 7 (1-based) of a real stream
+# 1-based offsets of the real encoder's fixed SOF0 dim fields (jfif.py)
+_JFIF_SOF_H_POS = 164
+_JFIF_SOF_W_POS = 166
 
 
 def _be32(col_expr: str, pos: int) -> Column:
@@ -55,11 +59,26 @@ def _be32(col_expr: str, pos: int) -> Column:
     )
 
 
+def _be16(col_expr: str, pos: int) -> Column:
+    """Big-endian uint16 at 1-based byte offset `pos`, parsed natively."""
+    return F.expr(
+        f"try_cast(conv(hex(substring({col_expr}, {pos}, 2)), 16, 10) AS BIGINT)"
+    )
+
+
 def binary_sanity_cols(bytes_col: str = "bytes") -> dict[str, Column]:
-    """magic_fmt + header dims, all whole-stage-codegen'd (no decode)."""
+    """magic_fmt + header dims, all whole-stage-codegen'd (no decode).
+
+    Three header layouts (fixtures/codec.py module docstring): PNG IHDR
+    dims, REAL JFIF (the 'JFIF' APP0 identifier at byte 7, SOF0 dims at
+    the encoder's fixed offsets — BE16 height at 164, width at 166,
+    1-based), and the legacy fake-JPEG wrapper (BE32 dims at 5/9)."""
     b = F.col(bytes_col)
     is_png = F.hex(F.expr(f"substring({bytes_col}, 1, 8)")) == _PNG_MAGIC_HEX
     is_jpg = F.hex(F.expr(f"substring({bytes_col}, 1, 3)")) == _JPG_MAGIC_HEX
+    is_jfif = is_jpg & (
+        F.hex(F.expr(f"substring({bytes_col}, 7, 4)")) == _JFIF_ID_HEX
+    )
     magic_fmt = (
         F.when(b.isNull(), F.lit(None).cast("string"))
         .when(is_png, F.lit("png"))
@@ -67,14 +86,17 @@ def binary_sanity_cols(bytes_col: str = "bytes") -> dict[str, Column]:
         .otherwise(F.lit(None).cast("string"))
     )
     long_enough_png = F.length(b) >= 24
+    long_enough_jfif = F.length(b) >= _JFIF_SOF_W_POS + 1
     long_enough_jpg = F.length(b) >= 12
     hdr_w = (
         F.when(is_png & long_enough_png, _be32(bytes_col, 17))
-        .when(is_jpg & long_enough_jpg, _be32(bytes_col, 5))
+        .when(is_jfif & long_enough_jfif, _be16(bytes_col, _JFIF_SOF_W_POS))
+        .when(is_jpg & ~is_jfif & long_enough_jpg, _be32(bytes_col, 5))
     )
     hdr_h = (
         F.when(is_png & long_enough_png, _be32(bytes_col, 21))
-        .when(is_jpg & long_enough_jpg, _be32(bytes_col, 9))
+        .when(is_jfif & long_enough_jfif, _be16(bytes_col, _JFIF_SOF_H_POS))
+        .when(is_jpg & ~is_jfif & long_enough_jpg, _be32(bytes_col, 9))
     )
     return {"magic_fmt": magic_fmt, "hdr_w": hdr_w, "hdr_h": hdr_h}
 
