@@ -76,25 +76,45 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_ngrams(c: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles, built natively:
-    transform(sequence(...)) over the token array."""
+    """Distinct word n-gram shingles, built natively by zipping n shifted
+    slices of the token array.
+
+    Why slices and not transform(sequence(...), i -> element_at(toks, i+j)):
+    higher-order functions are NOT whole-stage-codegen'd, and in the
+    interpreted eval path a child expression referenced inside the lambda
+    body (the `toks` split) is re-evaluated on EVERY element — an O(T)
+    regex split per gram, O(T^2) per row, which showed up as a pinned
+    single core under the dedup-chain scaling run. The slice/zip_with form
+    evaluates the split a constant n+1 times per row and streams the
+    already-materialized arrays: O(T) per row."""
     toks = F.split(F.trim(c), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(grams)
 
 
 def char_shingles(c: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text."""
+    """Distinct character k-shingles of the normalized text — same
+    slice/zip construction as word_ngrams (substring(s, i, k) inside a
+    lambda would re-normalize the whole string per shingle): zip k
+    shifted char arrays, then drop the ragged tail below length k."""
     s = normalized_text(c)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
-            lambda i: F.substring(s, i, k),
+    chars = F.split(s, "")
+    m = F.greatest(F.size(chars) - (k - 1), F.lit(1))
+    sh = F.slice(chars, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh,
+            F.slice(chars, 1 + j, m),
+            lambda a, b: F.concat(a, F.coalesce(b, F.lit(""))),
         )
-    )
+    return F.array_distinct(sh)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -199,10 +219,19 @@ def minhash_signatures(
     )
 
 
-def _bucket_pairs(ids: Column) -> Column:
-    """All ordered pairs (a < b) within one bucket's id list, natively:
-    sort, then nested transform over (index, suffix)."""
-    s = F.array_sort(ids)
+def _bucket_pairs(sorted_ids: Column) -> Column:
+    """All ordered pairs (a < b) within one bucket's PRE-SORTED id list,
+    natively: nested transform over (index, suffix).
+
+    Precondition: `sorted_ids` must be a bound column holding an already
+    sorted array (the caller sorts inside its aggregate). Sorting here —
+    or passing any non-trivial expression — would be re-evaluated on
+    EVERY lambda element in the interpreted HOF path (HOFs are not
+    codegen'd), turning the O(B^2) pair expansion into O(B^3 log B) per
+    bucket; at the 1000-id bucket cap that is ~10^9 comparisons for what
+    should be ~10^6 struct builds (found via a pinned-core thread dump in
+    the dedup-chain scaling run)."""
+    s = sorted_ids
     return F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(s) - 1),
@@ -262,7 +291,9 @@ def bucketed_candidate_pairs(
     small = (
         annotated.filter(F.col("bsz") <= max_bucket)
         .groupBy("band", "band_sig")
-        .agg(F.collect_list("id").alias("ids"))
+        # sort ONCE in the aggregate: _bucket_pairs requires a bound
+        # pre-sorted column (see its precondition note)
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
     )

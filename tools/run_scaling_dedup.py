@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Scaling evidence for the DEDUP chain (minhash LSH pairs -> connected-
+component cluster resolution) — the shuffle-heavy path, complementing
+BENCH_SCALING.json which covers only the narrow quality-filter pipeline
+(VERDICT round-2 ask #7).
+
+Two axes, same taskset protocol as tools/run_scaling.py:
+
+* cores: the SAME input at ``taskset 0..N-1 local[N]`` vs 4N — the
+  north_rule's two-cluster-size criterion on a job whose cost is the
+  banded LSH shuffle + the label-propagation join rounds, not a narrow
+  scan. efficiency = (rows/s at 4N) / (rows/s at N) / 4, target >= 0.8.
+* input: 1x vs 8x documents at fixed cores — throughput held across an
+  8x corpus growth evidences that shuffle volume and cluster rounds
+  scale linearly (more rows per task, not more plan).
+
+The corpus is built from sf0.1 documents: `copies` shards whose
+vocabulary is renamed per shard (every word w -> s<k>w — an isomorphic
+relabeling, so each shard's shingle/bucket statistics are IDENTICAL to
+the real corpus while shards share no shingles: corpus growth adds
+rows, not artificial cross-shard near-dups), plus a seeded near-dup
+variant per 23rd doc so the verify joins and cluster rounds always have
+real work proportional to size.
+
+Usage:  python tools/run_scaling_dedup.py            # both axes
+        python tools/run_scaling_dedup.py --worker CPUS COPIES   # internal
+Writes BENCH_SCALING_DEDUP.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _corpus(spark, copies: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shards = [
+        base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"s{k}$1").alias("text"),
+        )
+        for k in range(copies)
+    ]
+    docs = shards[0]
+    for s in shards[1:]:
+        docs = docs.unionAll(s)
+    dups = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    return docs.unionAll(dups)
+
+
+def worker(cpus: int, copies: int, passes: int = 2) -> None:
+    sys.path.insert(0, REPO)
+    from metacheck_spark.caching import CacheRegistry
+    from metacheck_spark.operators import dedup as D
+    from metacheck_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus * 2),
+        app_name="dedup_scaling",
+    )
+    docs = _corpus(spark, copies).persist()
+    n = docs.count()  # materialize input outside the timed window
+
+    def chain() -> None:
+        with CacheRegistry() as caches:
+            pairs = D.minhash_dedup_pairs(
+                docs, "text", "doc_id", threshold=0.8,
+                num_partitions="auto", caches=caches,
+            )
+            labels = D.dedup_clusters(pairs, caches=caches)
+            labels.write.format("noop").mode("overwrite").save()
+
+    chain()  # warm pass: worker forks, JIT, codegen
+    best = None
+    for _ in range(passes):
+        spark.catalog.clearCache()
+        docs.persist()
+        docs.count()
+        t0 = time.perf_counter()
+        chain()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    print(json.dumps({
+        "cpus": cpus, "copies": copies, "rows": n,
+        "sec": round(best, 3), "rows_per_sec": round(n / best, 1),
+    }), flush=True)
+    spark.stop()
+
+
+def run_once(cpus: int, copies: int, passes: int = 2) -> dict:
+    out = subprocess.run(
+        [
+            "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+            os.path.abspath(__file__), "--worker", str(cpus), str(copies),
+            str(passes),
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]),
+               int(sys.argv[4]) if len(sys.argv) > 4 else 2)
+        return
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    base_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    results: dict = {"sf_dir": SF_DIR}
+    log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
+
+    # axis 1: cores (N vs 4N), same input
+    lo = run_once(n_low, base_copies)
+    log(f"[dedup-scaling] cores {n_low}: {lo}")
+    hi = run_once(4 * n_low, base_copies)
+    log(f"[dedup-scaling] cores {4 * n_low}: {hi}")
+    eff = round((hi["rows_per_sec"] / lo["rows_per_sec"]) / 4, 3)
+    results["cores_axis"] = {
+        "low": lo, "high": hi,
+        "speedup": round(hi["rows_per_sec"] / lo["rows_per_sec"], 3),
+        "scaling_efficiency": eff, "target": 0.8, "pass": eff >= 0.8,
+    }
+
+    # axis 2: input size (1x vs 8x documents), fixed cores
+    cpus = 4 * n_low
+    big = run_once(cpus, 8 * base_copies)
+    log(f"[dedup-scaling] input 8x: {big}")
+    held = round(big["rows_per_sec"] / hi["rows_per_sec"], 3)
+    results["input_axis"] = {
+        "x1": hi, "x8": big,
+        "throughput_ratio_8x_vs_1x": held,
+    }
+
+    with open(os.path.join(REPO, "BENCH_SCALING_DEDUP.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({
+        "cores_efficiency": eff,
+        "cores_pass": eff >= 0.8,
+        "input_throughput_ratio": held,
+    }))
+
+
+if __name__ == "__main__":
+    main()
