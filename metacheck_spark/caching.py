@@ -25,12 +25,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor storage behind a localCheckpoint()ed frame.
+
+    DataFrame.unpersist() is a no-op for checkpoints (their storage is
+    RDD-level, not CacheManager-level), so this reaches through to the
+    LogicalRDD's backing RDD. The frame is UNUSABLE afterwards — the
+    checkpoint truncated its lineage, so there is nothing to recompute
+    from. Release only after the final action over it."""
+    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
 class CacheRegistry:
     """Collects the frames an operator persists so the caller can release
     them once its action completes. Context-manager exit releases all."""
 
     def __init__(self) -> None:
         self._frames: list[DataFrame] = []
+        self._checkpoints: list[DataFrame] = []
 
     def persist(self, df: DataFrame) -> DataFrame:
         """persist() a frame and take ownership of its release."""
@@ -43,9 +55,19 @@ class CacheRegistry:
         self._frames.append(df)
         return df
 
+    def adopt_checkpoint(self, df: DataFrame) -> DataFrame:
+        """Take ownership of a localCheckpoint()ed frame. NOTE: releasing
+        a checkpoint FREES its data — unlike a cache there is no
+        recompute path — so the frame must not be used after this
+        registry unpersists."""
+        self._checkpoints.append(df)
+        return df
+
     def unpersist_all(self, blocking: bool = False) -> None:
         while self._frames:
             self._frames.pop().unpersist(blocking)
+        while self._checkpoints:
+            free_local_checkpoint(self._checkpoints.pop())
 
     def __enter__(self) -> "CacheRegistry":
         return self

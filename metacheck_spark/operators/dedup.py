@@ -520,57 +520,77 @@ def dedup_clusters(
     round is one shuffle join + aggregate; Catalyst/AQE optimize each
     round independently). Rounds needed = graph diameter, which for LSH
     dedup clusters (near-cliques, or stars around a hub) is 1-2; the
-    default cap is far above any real corpus. Label state is persisted
-    per round and the previous round unpersisted, so memory is O(V)
-    regardless of iteration count. The FINAL labels frame stays persisted
-    (the caller's action reads it); pass `caches` to own its release.
+    default cap is far above any real corpus.
+
+    Lineage is TRUNCATED per round with eager localCheckpoint — the
+    standard iterative-DataFrame discipline (GraphFrames checkpoints the
+    same way). persist() alone is NOT enough: every round's logical plan
+    would keep nesting the full upstream pair-generation plan, and each
+    action re-renders that growing tree for Catalyst and for the plan-
+    description strings of AQE's listener events — measured as a pinned
+    single driver core costing ~half the chain's wall-clock at 10k docs
+    and collapsing core-count scaling to 0.54 efficiency (Amdahl). With
+    the checkpoint cut, each round plans against two leaf RDDs. The
+    previous round's storage is freed deterministically each round, so
+    memory stays O(V); on a real cluster prefer reliable checkpoints
+    (spark.sparkContext.setCheckpointDir) for executor-loss tolerance.
+
+    The FINAL labels frame remains checkpoint-backed. Pass `caches` to
+    own its release (CacheRegistry.adopt_checkpoint — releasing FREES
+    the data, so only release after the consuming action).
     """
+    from metacheck_spark.caching import free_local_checkpoint
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["id"] == neigh["src"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        edges.unpersist()
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} rounds — the "
-            "pair graph has a component with diameter beyond the cap "
-            "(e.g. a long drift chain); raise max_iters rather than "
-            "accepting a silently split cluster"
-        )
-    edges.unpersist()
+            new_labels = (
+                labels.join(neigh, labels["id"] == neigh["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            free_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iters} rounds — the "
+                "pair graph has a component with diameter beyond the cap "
+                "(e.g. a long drift chain); raise max_iters rather than "
+                "accepting a silently split cluster"
+            )
+    except BaseException:
+        free_local_checkpoint(edges)
+        free_local_checkpoint(labels)
+        raise
+    free_local_checkpoint(edges)
     if caches is not None:
-        caches.adopt(labels)
+        caches.adopt_checkpoint(labels)
     return labels.select("id", F.col("label").alias("cluster_id"))
