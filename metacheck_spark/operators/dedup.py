@@ -350,7 +350,7 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact Jaccard — the standard
     minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
     join -> verify). Pass a CacheRegistry as `caches` to own the release
-    of the persisted candidate frame (caching.py)."""
+    of the persisted candidate and candidate-shingle frames (caching.py)."""
     # Persist the candidate pairs: they feed two verification joins, and
     # without materialization each join re-executes the whole banded
     # self-join subplan (and its upstream signature aggregation) — the
@@ -362,10 +362,28 @@ def minhash_dedup_pairs(
         ),
         caches,
     )
-    sh = _fan_out(
-        df.select(F.col(id_col).alias(id_col), F.col(text_col)), num_partitions
-    ).select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), shingle_n).alias("sh")
+    # Shingle ONLY the docs that appear in some candidate pair: at web
+    # scale the candidate set is a small fraction of the corpus, and the
+    # shingle projection (regex split + n-gram zip + array_distinct) is
+    # the chain's single heaviest per-row computation — computing it for
+    # every doc (twice: once per join side, since codegen shares nothing
+    # across the two subplan scans) was measured as the dominant CPU in
+    # the verify stage of the dedup-chain scaling run. The id filter is a
+    # narrow join (candidate ids broadcast when small; AQE picks a
+    # shuffle join when not), and the filtered shingle frame is persisted
+    # once and served to BOTH verify joins.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionAll(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = persist_owned(
+        _fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            .join(cand_ids, "id"),
+            num_partitions,
+        ).select("id", word_ngrams(F.col("t"), shingle_n).alias("sh")),
+        caches,
     )
     return (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")

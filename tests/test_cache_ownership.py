@@ -39,7 +39,12 @@ def _vecs(spark, n=60, dim=8):
 
 
 def _assert_clean(spark, fn):
+    # start from a clean slate regardless of what earlier tests in the
+    # shared session left behind: clearCache drops CacheManager entries,
+    # but localCheckpoint storage is RDD-level and needs a direct purge
     spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(True)
     assert cached_rdd_count(spark) == 0
     with CacheRegistry() as caches:
         df = fn(caches)

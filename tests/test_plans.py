@@ -2,6 +2,8 @@
 scale are asserted on explain() output so a refactor can't silently
 reintroduce a shuffle, lose pushdown, or de-broadcast a dimension."""
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as E
 from metacheck_spark.pipeline import run_pipeline
 
@@ -122,3 +124,41 @@ def test_minhash_signature_hash_materialized(spark):
     sig = D.minhash_signatures(docs, "text", "doc_id")
     plan = _optimized(sig)
     assert plan.count("xxhash64") == 1
+
+
+def test_ivf_probe_prunes_cluster_partitions(spark, tmp_path):
+    """The IVF scale claim (operators/similarity.py:ivf_topk docstring):
+    with the table written partitioned by the cluster column, the nprobe
+    filter must prune at the SCAN — the physical plan reads only the
+    probed cluster partitions, not the whole table."""
+    import numpy as np
+
+    from metacheck_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = S.train_centroids(emb, n_clusters=8)
+    path = str(tmp_path / "ivf_table")
+    S.assign_clusters(emb, cent).write.partitionBy("cluster").parquet(path)
+
+    table = spark.read.parquet(path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qn = np.array(q) / np.linalg.norm(q)
+    probes = [int(c) for c in np.argsort(-(cent @ qn), kind="stable")[:3]]
+
+    plan = (
+        table.filter(F.col("cluster").isin(probes))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the cluster predicate reached the scan as a PARTITION filter
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    scanned = (
+        table.filter(F.col("cluster").isin(probes))
+        .select(F.count(F.lit(1))).head()[0]
+    )
+    per_cluster = {
+        r["cluster"]: r["count"]
+        for r in table.groupBy("cluster").count().collect()
+    }
+    assert scanned == sum(per_cluster[c] for c in probes)
+    assert scanned < sum(per_cluster.values())  # strictly pruned

@@ -120,12 +120,22 @@ def main() -> None:
                int(sys.argv[4]) if len(sys.argv) > 4 else 2)
         return
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    base_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    base_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     results: dict = {"sf_dir": SF_DIR}
     log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
 
-    # axis 1: cores (N vs 4N), same input
+    # axis 1: cores (N vs 4N), same input. The input must be large enough
+    # that per-pass WORK dominates the ~10s of fixed driver cost a chain
+    # of ~8 actions carries (plan/schedule/AQE per action) — at 10k docs
+    # that fixed cost is half the wall-clock and masks the engine's
+    # scaling (measured: eff 0.41 at 10k, 0.50 at 83k, 0.66 at 668k).
+    # The residual gap at 668k is NOT dataflow serialization: a phase
+    # probe (JVM cpu from /proc, per-phase) shows the 8-core leg keeps
+    # 6.4-6.6 of 8 cores busy with ~1% GC, while cpu-seconds PER UNIT
+    # WORK inflate 1.25-1.4x going 2 -> 8 pinned cores on this shared
+    # VM (memory-bandwidth/LLC contention; up to 1.8x when any neighbor
+    # process runs) — see BASELINE.md's dedup-scaling section.
     lo = run_once(n_low, base_copies)
     log(f"[dedup-scaling] cores {n_low}: {lo}")
     hi = run_once(4 * n_low, base_copies)
@@ -137,13 +147,14 @@ def main() -> None:
         "scaling_efficiency": eff, "target": 0.8, "pass": eff >= 0.8,
     }
 
-    # axis 2: input size (1x vs 8x documents), fixed cores
+    # axis 2: input size (1x vs 8x documents), fixed cores — the big run
+    # doubles as the cores-axis high leg
     cpus = 4 * n_low
-    big = run_once(cpus, 8 * base_copies)
-    log(f"[dedup-scaling] input 8x: {big}")
-    held = round(big["rows_per_sec"] / hi["rows_per_sec"], 3)
+    small = run_once(cpus, max(1, base_copies // 8))
+    log(f"[dedup-scaling] input 1x (base/8): {small}")
+    held = round(hi["rows_per_sec"] / small["rows_per_sec"], 3)
     results["input_axis"] = {
-        "x1": hi, "x8": big,
+        "x1": small, "x8": hi,
         "throughput_ratio_8x_vs_1x": held,
     }
 
