@@ -405,6 +405,7 @@ def audit_frame(labeled: DataFrame, run_ts: str, buckets: int = 32) -> DataFrame
         "lang_conf",
         "ppl",
         "scrubbed_caption",
+        "phash",
         F.pmod(F.col("phash"), F.lit(buckets)).cast("int").alias("bucket"),
         F.lit(run_ts).alias("run_ts"),
     )
@@ -458,6 +459,33 @@ def kept_output(labeled: DataFrame, salt: int = 8) -> DataFrame:
 
 def write_kept(labeled: DataFrame, path: str, salt: int = 8) -> None:
     kept_output(labeled, salt).write.mode("append").partitionBy("lang").parquet(path)
+
+
+def reconcile_kept(
+    spark: SparkSession, audit_path: str, kept_path: str, salt: int = 8
+) -> int:
+    """Idempotent kept sink: backfill every keep=true audit row that is not
+    yet in the kept table. The audit table is the single source of truth
+    (it carries image_id/lang/scrubbed_caption/phash), so the kept output
+    converges to exactly-once no matter where a previous run died — in
+    particular a crash BETWEEN the audit commit and the kept write, which
+    a ledger-skipping rerun would otherwise lose forever. The diff is a
+    left_anti join on image_id (broadcast when the existing side is small;
+    a plain shuffle anti-join at scale — both sides are already columnar
+    scans pruned to two columns). Returns the number of rows appended,
+    observed on the write itself (no second job)."""
+    from pyspark.sql import Observation
+
+    audit = spark.read.parquet(audit_path)
+    try:
+        existing = spark.read.parquet(kept_path).select("image_id")
+        missing = audit.join(existing, "image_id", "left_anti")
+    except Exception:  # first run: no kept output yet
+        missing = audit
+    obs = Observation("reconcile_kept")
+    out = kept_output(missing, salt).observe(obs, F.count(F.lit(1)).alias("n"))
+    out.write.mode("append").partitionBy("lang").parquet(kept_path)
+    return int(obs.get["n"])
 
 
 def metrics_frame(audit: DataFrame) -> DataFrame:

@@ -11,7 +11,10 @@ hand to spark-submit:
 Resumable by construction: before processing, the committed buckets in the
 audit table are read back (the bucket-partition dirs ARE the ledger) and
 already-committed rows are dropped from the input (pipeline.resume_filter).
-Re-running after a mid-job failure processes only the remaining buckets.
+Re-running after a mid-job failure processes only the remaining buckets, and
+the kept table is reconciled FROM the audit table (anti-join backfill,
+pipeline.reconcile_kept) so a crash between the audit commit and the kept
+write converges to exactly-once output on rerun instead of losing rows.
 
 On a cluster nothing changes except the master/deploy-mode flags; in the
 sandbox the same script runs under local[N].
@@ -46,10 +49,10 @@ def main(argv: list[str] | None = None) -> None:
         assemble_flags,
         audit_frame,
         completed_buckets,
+        reconcile_kept,
         resume_filter,
         with_labels,
         write_audit,
-        write_kept,
     )
     from metacheck_spark.sources.readers import read_images, read_url_status
 
@@ -64,7 +67,8 @@ def main(argv: list[str] | None = None) -> None:
     labeled = with_labels(assemble_flags(todo, url_status, args.url_mode))
     audit = audit_frame(labeled, args.run_ts, args.buckets)
     write_audit(audit, args.audit, args.buckets)
-    write_kept(labeled, args.kept, args.salt)
+    n_kept = reconcile_kept(spark, args.audit, args.kept, args.salt)
+    print(f"[kept] reconciled {n_kept} rows into {args.kept}")
 
     if args.summary:
         from metacheck_spark.sources.sinks import write_summary
