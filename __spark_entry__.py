@@ -490,11 +490,66 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only driver check — the pandas SipHash
-    signatures are not DuckDB-expressible; verified in pytest)."""
+    """SimHash near-dup — hash-checked oracle: the token hash is a
+    double-lane 32-bit FNV over code points (dedup.SIMHASH_MAXLEN spec)
+    chosen precisely so DuckDB can recompute every signature bit-exactly
+    (_simhash_pairs_sql), unlike the pandas SipHash it replaced. The
+    oracle is the brute-force hamming<=3 pair set, which equals the
+    banded output by the 4-band pigeonhole (<=3 differing bits => one
+    16-bit band identical) + the final hamming filter; dedup recall is
+    additionally asserted vs brute force in pytest."""
     return D.simhash_dup_pairs(
         _with_near_dups(spark, sf_dir), "text", "doc_id", num_partitions="auto"
     )
+
+
+def _simhash_pairs_sql() -> str:
+    """DuckDB recomputation of q_simhash_pairs: per-token double-lane FNV
+    (list_reduce over code points, 32-char truncation matching the UDF's
+    U32 packing), per-bit majority votes as 64 CASE sums, then the
+    brute-force hamming<=3 join — candidate banding needs no replication
+    because pigeonhole makes it lossless below the hamming cap."""
+    from metacheck_spark.operators.dedup import _FNV, SIMHASH_MAXLEN
+
+    (b1, p1), (b2, p2) = _FNV
+
+    def lane(basis: int, prime: int) -> str:
+        return (
+            f"list_reduce(list_prepend({basis}::UBIGINT, "
+            f"list_transform(split(substr(t,1,{SIMHASH_MAXLEN}),''), "
+            f"c -> unicode(c)::UBIGINT)), "
+            f"(a,b) -> ((xor(a,b) * {prime}) % 4294967296))"
+        )
+
+    bits = [
+        f"CASE WHEN 2*sum((h1 >> {j}) & 1) > count(*) "
+        f"THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(32)
+    ] + [
+        f"CASE WHEN 2*sum((h2 >> {j}) & 1) > count(*) "
+        f"THEN {1 << (32 + j)}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(32)
+    ]
+    return f"""
+WITH base AS ({_NEAR_DUPS_SQL}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                x -> x != '')) AS t
+  FROM base
+), h AS (
+  SELECT doc_id, {lane(b1, p1)} AS h1, {lane(b2, p2)} AS h2 FROM tok
+), sig AS (
+  SELECT doc_id, ({' + '.join(bits)}) AS s FROM h GROUP BY doc_id
+), full_sig AS (
+  SELECT b.doc_id, coalesce(sig.s, 0)::UBIGINT AS s
+  FROM base b LEFT JOIN sig USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::INT AS hamming
+FROM full_sig a JOIN full_sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2029,9 +2084,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _NGRAM_JACCARD_SQL,
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
-        # simhash_pairs: pandas SipHash signatures are not
-        # DuckDB-expressible -> rows-only driver check; recall+precision
-        # asserted against brute force in pytest.
+        # simhash signatures use the cross-engine double-lane FNV token
+        # hash (dedup.SIMHASH spec), so DuckDB recomputes every bit.
+        "simhash_pairs": _simhash_pairs_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_doc_stats": _LANG_DOC_STATS_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,

@@ -402,15 +402,30 @@ def minhash_dedup_pairs(
 _SIMHASH_T = T.StructType([T.StructField("simhash", T.LongType())])
 
 
+# Token-hash spec, shared verbatim with the DuckDB oracle
+# (__spark_entry__._simhash_pairs_sql): two independent FNV-1a-style
+# 32-bit lanes over the token's code points (token truncated to
+# SIMHASH_MAXLEN code points), concatenated into a 64-bit hash.
+# Every intermediate stays below 2^64 (32-bit value * 32-bit prime), so
+# both numpy (masked uint64) and DuckDB (UBIGINT % 2^32) compute it
+# exactly — unlike pd.util.hash_array's pandas-internal SipHash, which
+# no other engine can reproduce and whose stability is a pandas
+# implementation detail.
+SIMHASH_MAXLEN = 32
+_FNV = ((2166136261, 16777619), (0x9747B28C, 0x85EBCA6B))
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """64-bit SimHash over word tokens, fully vectorized per Arrow batch:
-    one pd.util.hash_array call over the batch's flattened token array
-    (stable 64-bit SipHash with a fixed key — deterministic across runs
-    and workers), then per-bit segment sums via np.add.reduceat. No
-    per-row or per-token Python."""
+    tokens are packed into a fixed-width code-point matrix (numpy UCS4
+    view — one allocation, no per-token Python), the two FNV lanes fold
+    over its <=SIMHASH_MAXLEN columns, then per-bit majority votes run as
+    np.add.reduceat segment sums. No per-row or per-token Python."""
     import numpy as np
 
+    (b1, p1), (b2, p2) = _FNV
+    m32 = np.uint64(0xFFFFFFFF)
     for s in batches:
         toks_per = s.fillna("").str.lower().str.split()
         lens = toks_per.str.len().to_numpy(dtype=np.int64)
@@ -420,7 +435,22 @@ def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             flat = np.concatenate(
                 [np.asarray(t, dtype=object) for t in toks_per[nz]]
             )
-            hs = pd.util.hash_array(flat).astype(np.uint64)
+            mat = (
+                flat.astype(f"U{SIMHASH_MAXLEN}")  # truncating fixed-width pack
+                .view(np.uint32)
+                .reshape(len(flat), SIMHASH_MAXLEN)
+                .astype(np.uint64)
+            )
+            h1 = np.full(len(flat), b1, np.uint64)
+            h2 = np.full(len(flat), b2, np.uint64)
+            for j in range(SIMHASH_MAXLEN):
+                cp = mat[:, j]
+                live = cp != 0  # UCS4 pad: 0 never appears in a token
+                if not live.any():
+                    break
+                h1[live] = ((h1[live] ^ cp[live]) * np.uint64(p1)) & m32
+                h2[live] = ((h2[live] ^ cp[live]) * np.uint64(p2)) & m32
+            hs = h1 | (h2 << np.uint64(32))
             ends = lens[nz].cumsum()
             starts = ends - lens[nz]
             sig = np.zeros(int(nz.sum()), dtype=np.uint64)
