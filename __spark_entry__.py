@@ -553,6 +553,73 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 
 
 # ---------------------------------------------------------------------------
+# Tier-3 live URL checking (sources/urlfetch.py)
+
+
+def q_live_url_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier-3 LIVE URL-checking path (reference p013.py:25/p025.py:36
+    issue requests at detection time) driven end-to-end through the
+    deterministic fetcher: captions are synthesized over documents with
+    embedded URLs (incl. a trailing-punctuation case and a timeout
+    class), extracted + distinct'd by the real regex path, then fetched
+    exactly-once in mapInPandas. DuckDB recomputes the extraction with
+    its own regex engine and the fetcher's pure status function
+    independently — hash-checked plumbing, no network."""
+    from metacheck_spark.sources import urlfetch as U
+
+    caps = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" see http://ex"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".org/p"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(","),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit(" then http://t.example/q7."),
+                ).otherwise(F.lit(" done")),
+            ).alias("caption"),
+        )
+    )
+    return U.live_url_status(
+        caps, fetch_one=U.deterministic_fetcher, num_tasks=4
+    )
+
+
+_LIVE_URL_CHECK_SQL = r"""
+WITH caps AS (
+  SELECT concat(
+           substr(text, 1, 40), ' see http://ex', (doc_id % 97)::VARCHAR,
+           '.org/p', (doc_id % 13)::VARCHAR, ',',
+           CASE WHEN doc_id % 5 = 0 THEN ' then http://t.example/q7.'
+                ELSE ' done' END
+         ) AS caption
+  FROM documents WHERE doc_id < 200
+), extracted AS (
+  SELECT DISTINCT
+    regexp_replace(
+      unnest(regexp_extract_all(caption,
+        '(https?://[^\s<>"'']+|www\.[^\s<>"'']+)')),
+      '[.,;:!?)\]}''"]+$', '') AS url
+  FROM caps
+)
+SELECT url,
+       CASE WHEN url LIKE '%7' THEN NULL
+            ELSE ([200, 301, 404, 500, 503])[
+              (1 + (list_sum(list_transform(split(url, ''),
+                                            c -> unicode(c))) % 5))::BIGINT]
+       END::INT AS status_code,
+       CASE WHEN url LIKE '%7' THEN 'timeout' END AS error
+FROM extracted
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 
 
@@ -2032,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windows": q_streaming_windows,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "live_url_check": q_live_url_check,
         "text_quality": q_text_quality,
         "lang_doc_stats": q_lang_doc_stats,
         "cosine_topk": q_cosine_topk,
@@ -2087,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash signatures use the cross-engine double-lane FNV token
         # hash (dedup.SIMHASH spec), so DuckDB recomputes every bit.
         "simhash_pairs": _simhash_pairs_sql(),
+        "live_url_check": _LIVE_URL_CHECK_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_doc_stats": _LANG_DOC_STATS_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
