@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -415,52 +415,59 @@ SIMHASH_MAXLEN = 32
 _FNV = ((2166136261, 16777619), (0x9747B28C, 0x85EBCA6B))
 
 
-@F.pandas_udf(T.LongType())
-def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """64-bit SimHash over word tokens, fully vectorized per Arrow batch:
+def simhash_batch(s: pd.Series) -> "pd.Series":
+    """64-bit SimHash signatures for one batch of texts, fully vectorized:
     tokens are packed into a fixed-width code-point matrix (numpy UCS4
     view — one allocation, no per-token Python), the two FNV lanes fold
     over its <=SIMHASH_MAXLEN columns, then per-bit majority votes run as
-    np.add.reduceat segment sums. No per-row or per-token Python."""
+    np.add.reduceat segment sums. Module-level (not closed over by the
+    UDF) so tests can pin the cross-engine contract directly — see
+    tests/test_simhash_cross_engine.py's hypothesis sweep against the
+    DuckDB recomputation."""
     import numpy as np
 
     (b1, p1), (b2, p2) = _FNV
     m32 = np.uint64(0xFFFFFFFF)
+    toks_per = s.fillna("").str.lower().str.split()
+    lens = toks_per.str.len().to_numpy(dtype=np.int64)
+    out = np.zeros(len(s), dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks_per[nz]]
+        )
+        mat = (
+            flat.astype(f"U{SIMHASH_MAXLEN}")  # truncating fixed-width pack
+            .view(np.uint32)
+            .reshape(len(flat), SIMHASH_MAXLEN)
+            .astype(np.uint64)
+        )
+        h1 = np.full(len(flat), b1, np.uint64)
+        h2 = np.full(len(flat), b2, np.uint64)
+        for j in range(SIMHASH_MAXLEN):
+            cp = mat[:, j]
+            live = cp != 0  # UCS4 pad: 0 never appears in a token
+            if not live.any():
+                break
+            h1[live] = ((h1[live] ^ cp[live]) * np.uint64(p1)) & m32
+            h2[live] = ((h2[live] ^ cp[live]) * np.uint64(p2)) & m32
+        hs = h1 | (h2 << np.uint64(32))
+        ends = lens[nz].cumsum()
+        starts = ends - lens[nz]
+        sig = np.zeros(int(nz.sum()), dtype=np.uint64)
+        for b in range(64):
+            bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            # majority vote per segment: ones*2 > len  <=>  sum(+-1) > 0
+            ones = np.add.reduceat(bit, starts)
+            sig |= ((ones * 2 > lens[nz]).astype(np.uint64)) << np.uint64(b)
+        out[nz] = sig
+    return pd.Series(out.view(np.int64), dtype="int64", index=s.index)
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for s in batches:
-        toks_per = s.fillna("").str.lower().str.split()
-        lens = toks_per.str.len().to_numpy(dtype=np.int64)
-        out = np.zeros(len(s), dtype=np.uint64)
-        nz = lens > 0
-        if nz.any():
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks_per[nz]]
-            )
-            mat = (
-                flat.astype(f"U{SIMHASH_MAXLEN}")  # truncating fixed-width pack
-                .view(np.uint32)
-                .reshape(len(flat), SIMHASH_MAXLEN)
-                .astype(np.uint64)
-            )
-            h1 = np.full(len(flat), b1, np.uint64)
-            h2 = np.full(len(flat), b2, np.uint64)
-            for j in range(SIMHASH_MAXLEN):
-                cp = mat[:, j]
-                live = cp != 0  # UCS4 pad: 0 never appears in a token
-                if not live.any():
-                    break
-                h1[live] = ((h1[live] ^ cp[live]) * np.uint64(p1)) & m32
-                h2[live] = ((h2[live] ^ cp[live]) * np.uint64(p2)) & m32
-            hs = h1 | (h2 << np.uint64(32))
-            ends = lens[nz].cumsum()
-            starts = ends - lens[nz]
-            sig = np.zeros(int(nz.sum()), dtype=np.uint64)
-            for b in range(64):
-                bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-                # majority vote per segment: ones*2 > len  <=>  sum(+-1) > 0
-                ones = np.add.reduceat(bit, starts)
-                sig |= ((ones * 2 > lens[nz]).astype(np.uint64)) << np.uint64(b)
-            out[nz] = sig
-        yield pd.Series(out.view(np.int64), dtype="int64")
+        yield simhash_batch(s)
 
 
 def simhash_dup_pairs(
@@ -606,23 +613,32 @@ def dedup_clusters(
                 .groupBy("src")
                 .agg(F.min("label").alias("nmin"))
             )
+            # convergence check FUSED into the checkpoint job via
+            # Observation: one action and one shuffle join per round,
+            # not two of each — the changed-count is collected while the
+            # same pass materializes the new labels (the old separate
+            # new-vs-old join re-shuffled the whole label frame every
+            # round purely to ask "did anything move?")
+            obs = Observation()
             new_labels = (
                 labels.join(neigh, labels["id"] == neigh["src"], "left")
                 .select(
                     labels["id"],
+                    F.col("label").alias("old_label"),
                     F.least(
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
                 )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("old_label")).cast("long")
+                    ).alias("n_changed"),
+                )
+                .select("id", "label")  # checkpoint stores 2 columns only
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            changed = int(obs.get["n_changed"] or 0)
             free_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:

@@ -476,7 +476,10 @@ def reconcile_kept(
     observed on the write itself (no second job)."""
     from pyspark.sql import Observation
 
-    audit = spark.read.parquet(audit_path)
+    # keep=true BEFORE the anti-join: the predicate reaches the parquet
+    # scan (kept_output would filter it anyway, but only after shuffling
+    # dropped rows through the join at 10^12-row scale)
+    audit = spark.read.parquet(audit_path).filter(F.col("keep"))
     try:
         existing = spark.read.parquet(kept_path).select("image_id")
         missing = audit.join(existing, "image_id", "left_anti")
