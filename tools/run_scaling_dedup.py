@@ -151,6 +151,22 @@ def _source_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def fold_leg(prior: dict, axis: str, key: str,
+             new_leg: dict) -> tuple[dict, list]:
+    """Fold one freshly-measured leg into a prior artifact's history:
+    returns (best leg by wall-clock, sorted per-invocation history).
+    Noise on this host only ever ADDS time, so the per-leg minimum is the
+    least-biased estimate of steady-state capability."""
+    old_axis = prior.get(axis, {})
+    hist = sorted(
+        old_axis.get("invocations_sec", {}).get(key, []) + [new_leg["sec"]]
+    )
+    old_leg = old_axis.get(key)
+    best = (new_leg if old_leg is None
+            or new_leg["sec"] <= old_leg["sec"] else old_leg)
+    return best, hist
+
+
 def run_once(cpus: int, copies: int, passes: int = 2) -> dict:
     out = subprocess.run(
         [
@@ -192,15 +208,7 @@ def main() -> None:
     results: dict = {"sf_dir": SF_DIR, "source_fingerprint": fp}
 
     def merged(axis: str, key: str, new_leg: dict) -> tuple[dict, list]:
-        old_axis = prior.get(axis, {})
-        hist = sorted(
-            old_axis.get("invocations_sec", {}).get(key, [])
-            + [new_leg["sec"]]
-        )
-        old_leg = old_axis.get(key)
-        best = (new_leg if old_leg is None
-                or new_leg["sec"] <= old_leg["sec"] else old_leg)
-        return best, hist
+        return fold_leg(prior, axis, key, new_leg)
 
     # axis 1: cores (N vs 4N), same input. The input must be large enough
     # that per-pass WORK dominates the ~10s of fixed driver cost a chain
