@@ -552,6 +552,82 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 """
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (operators/dedup.py
+    winnow_fingerprints) — hash-checked oracle: the k-gram hash is the
+    SimHash contract's FNV lane over code points, so DuckDB recomputes
+    every k-gram hash, window minimum, and fingerprint independently
+    (_winnow_fp_sql)."""
+    return D.winnow_fingerprints(
+        _with_near_dups(spark, sf_dir), "text", "doc_id"
+    ).select(F.col("id").alias("doc_id"), "fp")
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-winnowed-fingerprint overlap pairs (the winnowing paper's
+    plagiarism/near-dup detector) — hash-checked oracle: DuckDB rebuilds
+    the fingerprint sets and counts shared fps via a brute self-join,
+    which equals the bucket-expanded Spark output whenever every
+    fingerprint bucket is <= max_bucket (asserted for this corpus in
+    tests/test_winnow.py; oversized buckets star-route at scale).
+    min_shared=20 separates real near-dups (the seeded variants share
+    31-187 fingerprints here) from the 1-6 fps of background template
+    overlap the synthetic corpus carries."""
+    return D.winnow_overlap_pairs(
+        _with_near_dups(spark, sf_dir), "text", "doc_id", min_shared=20
+    )
+
+
+def _winnow_cte() -> str:
+    """Shared CTE chain: normalized text -> per-position FNV k-gram
+    hashes -> window minima -> distinct fingerprints per doc."""
+    from metacheck_spark.operators.dedup import _FNV, WINNOW_K, WINNOW_W
+
+    basis, prime = _FNV[0]
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+base AS ({_NEAR_DUPS_SQL}),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+  FROM base
+),
+g AS (SELECT doc_id, t, length(t) AS n FROM norm WHERE length(t) >= {k}),
+kh AS (
+  SELECT doc_id,
+    list_transform(range(1, n - {k} + 2), i ->
+      list_reduce(
+        list_prepend({basis}::UBIGINT,
+          list_transform(range(i, i + {k}), j -> unicode(t[j])::UBIGINT)),
+        (a, b) -> ((xor(a, b) * {prime}) % 4294967296))) AS hs
+  FROM g
+),
+win AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= {w} THEN
+      list_distinct(list_transform(range(1, len(hs) - {w} + 2), p ->
+        list_min(list_transform(range(p, p + {w}), q -> hs[q]))))
+    ELSE [list_min(hs)] END AS fps
+  FROM kh
+),
+fps AS (SELECT doc_id, unnest(fps)::BIGINT AS fp FROM win)
+"""
+
+
+def _winnow_fp_sql() -> str:
+    return f"WITH {_winnow_cte()} SELECT doc_id, fp FROM fps"
+
+
+def _winnow_pairs_sql() -> str:
+    return f"""
+WITH {_winnow_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tier-3 live URL checking (sources/urlfetch.py)
 
@@ -2099,6 +2175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windows": q_streaming_windows,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "live_url_check": q_live_url_check,
         "text_quality": q_text_quality,
         "lang_doc_stats": q_lang_doc_stats,
@@ -2155,6 +2233,8 @@ def oracle_sql() -> dict[str, str]:
         # simhash signatures use the cross-engine double-lane FNV token
         # hash (dedup.SIMHASH spec), so DuckDB recomputes every bit.
         "simhash_pairs": _simhash_pairs_sql(),
+        "winnow_fp": _winnow_fp_sql(),
+        "winnow_pairs": _winnow_pairs_sql(),
         "live_url_check": _LIVE_URL_CHECK_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_doc_stats": _LANG_DOC_STATS_SQL,

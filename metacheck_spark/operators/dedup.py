@@ -517,6 +517,162 @@ def simhash_dup_pairs(
     )
 
 
+# --- Winnowing (rolling-hash document fingerprints) -------------------------
+
+# Winnowing scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+# algorithm): hash every k-gram of the normalized text, slide a window of
+# w consecutive k-gram hashes, keep each window's minimum; the distinct
+# kept hashes are the document's fingerprints. Guarantee: any shared
+# substring of length >= k + w - 1 between two documents yields at least
+# one shared fingerprint, while storage is ~2/(w+1) of the k-gram count.
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnow_batch(
+    s: pd.Series, k: int = WINNOW_K, w: int = WINNOW_W
+) -> "pd.Series":
+    """Winnowed fingerprint lists for one batch of texts, vectorized the
+    simhash_batch way: every batch text concatenates into ONE code-point
+    array (utf-32 view), the FNV lane folds over its k columns for every
+    k-gram position at once, the w-window minima come from w shifted
+    np.minimum passes, and per-doc slices of the global arrays yield the
+    distinct fingerprints. Windows that straddle document boundaries are
+    computed but never selected (each doc reads only its own valid
+    range), so no masking pass is needed.
+
+    The k-gram hash is the same 32-bit FNV-1a lane the SimHash contract
+    pins (_FNV[0] over code points), chosen so DuckDB recomputes every
+    fingerprint exactly (unicode() + list_reduce — see
+    __spark_entry__._winnow_fp_sql). A polynomial rolling hash would
+    make each k-gram O(1) instead of O(k), but at k=8 that optimizes a
+    vectorized pass that is already memory-bound and costs cross-engine
+    verifiability (modular-inverse arithmetic differs per engine).
+
+    Why not native HOF expressions: the nested
+    transform/aggregate/slice formulation measured ~36 ms/doc on the
+    interpreted HOF path and was re-evaluated per OUTPUT row once an
+    explode consumed it (~0.6 s/doc) — the same interpreted-vs-Arrow
+    cliff simhash_batch exists to avoid. Module-level so tests can pin
+    the cross-engine contract directly.
+
+    Documents shorter than k code points have no k-grams and emit an
+    empty list; with fewer than w k-grams the single global minimum is
+    the fingerprint (the winnowing paper's degenerate-window case).
+    """
+    import numpy as np
+
+    basis, prime = _FNV[0]
+    norm = (
+        s.fillna("")
+        .str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    lens = norm.str.len().to_numpy(dtype=np.int64)
+    out: list = [[] for _ in range(len(s))]
+    flat = "".join(norm)
+    P = len(flat) - k + 1  # k-gram positions, counted across boundaries
+    if P > 0:
+        cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        m32 = np.uint64(0xFFFFFFFF)
+        h = np.full(P, basis, dtype=np.uint64)
+        for j in range(k):
+            h = ((h ^ cp[j : j + P]) * np.uint64(prime)) & m32
+        Q = P - w + 1  # w-window start positions (global)
+        if Q > 0:
+            wm = h[:Q].copy()
+            for j in range(1, w):
+                np.minimum(wm, h[j : j + Q], out=wm)
+        offs = np.concatenate(([0], lens.cumsum()[:-1]))
+        for d in range(len(s)):
+            m = lens[d] - k + 1  # this doc's k-gram count
+            if m < 1:
+                continue
+            off = offs[d]
+            if m < w:
+                out[d] = [int(h[off : off + m].min())]
+            else:
+                out[d] = np.unique(wm[off : off + m - w + 1]).astype(
+                    np.int64
+                ).tolist()
+    return pd.Series(out, index=s.index)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp) winnowed fingerprints: one Arrow crossing (the
+    winnow_batch kernel) + a native explode of the materialized list
+    column — no shuffle, no driver involvement."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield winnow_batch(s, k, w)
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .select("id", _udf("t").alias("fps"))
+        .select("id", F.explode("fps").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_fps) document pairs ranked by how many winnowed
+    fingerprints they share — the winnowing paper's overlap detector as
+    one fingerprint-bucket shuffle, never a text self-join.
+
+    Scale shape mirrors bucketed_candidate_pairs: buckets up to
+    max_bucket expand all-pairs (each bucket contributes 1 to its pairs'
+    shared count — multiplicity is the point here, so no global
+    distinct); oversized buckets (a boilerplate fingerprint shared by
+    millions of docs) route O(bucket) star pairs around the min-id hub
+    instead of O(bucket^2). In that regime shared_fps undercounts for
+    non-hub pairs — the hub-anchored counts still connect the cluster,
+    which is what dedup consumes; callers needing exact counts in the
+    boilerplate regime should drop those fingerprints as stopwords first.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    wdw = Window.partitionBy("fp")
+    annotated = (
+        fps.withColumn("bsz", F.count(F.lit(1)).over(wdw))
+        .withColumn("hub", F.min("id").over(wdw))
+        .filter(F.col("bsz") > 1)
+    )
+    small = (
+        annotated.filter(F.col("bsz") <= max_bucket)
+        .groupBy("fp")
+        # sort ONCE in the aggregate: _bucket_pairs precondition
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    star = annotated.filter(
+        (F.col("bsz") > max_bucket) & (F.col("id") != F.col("hub"))
+    ).select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+    return (
+        small.unionAll(star)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 # --- embedding near-dup ------------------------------------------------------
 
 
