@@ -610,7 +610,16 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """(id, fp) winnowed fingerprints: one Arrow crossing (the
     winnow_batch kernel) + a native explode of the materialized list
-    column — no shuffle, no driver involvement."""
+    column — no shuffle, no driver involvement.
+
+    explode_outer + a null filter on the GENERATED attribute, not plain
+    explode: InferFiltersFromGenerate rewrites a non-outer explode of a
+    UDF column into Filter(size(udf(..)) > 0) + Generate(udf(..)), which
+    evaluates the Arrow kernel twice per row (observed in the physical
+    plan: two ArrowEvalPython nodes). The outer variant takes no such
+    filter; empty-fingerprint docs surface as one null row each and are
+    dropped after the Generate — same output, one kernel pass
+    (plan-pinned in tests/test_plans.py)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -620,7 +629,8 @@ def winnow_fingerprints(
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .select("id", _udf("t").alias("fps"))
-        .select("id", F.explode("fps").alias("fp"))
+        .select("id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
 
 

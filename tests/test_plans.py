@@ -162,3 +162,24 @@ def test_ivf_probe_prunes_cluster_partitions(spark, tmp_path):
     }
     assert scanned == sum(per_cluster[c] for c in probes)
     assert scanned < sum(per_cluster.values())  # strictly pruned
+
+
+def test_winnow_single_arrow_crossing(spark):
+    """One ArrowEvalPython node total in the fingerprint plan: the
+    explode must consume the materialized kernel output, not re-evaluate
+    it (plain explode of a UDF column gets an InferFiltersFromGenerate
+    size()-filter that runs the kernel twice — winnow_fingerprints uses
+    explode_outer + a generated-attribute filter to avoid it)."""
+    from metacheck_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    plan = _plan(winnow_fingerprints(docs, "text", "doc_id"))
+    assert plan.count("ArrowEvalPython") == 1
+    # the pairs plan unions two branches (all-pairs + star routing):
+    # one kernel crossing per branch, never two
+    pairs_plan = _plan(winnow_overlap_pairs(docs, "text", "doc_id"))
+    assert pairs_plan.count("ArrowEvalPython") == 2
+    assert "CartesianProduct" not in pairs_plan
