@@ -204,7 +204,16 @@ def main() -> None:
         if prev.get("source_fingerprint") == fp:
             prior = prev
         else:
-            log("[dedup-scaling] sources changed — starting a fresh history")
+            # archive, never clobber: the old artifact stays the record
+            # for the tree it measured until the new history matures
+            keep = out_path.replace(
+                ".json", f".{prev.get('source_fingerprint', 'unknown')}.json"
+            )
+            with open(keep, "w") as kf:
+                json.dump(prev, kf, indent=2)
+                kf.write("\n")
+            log(f"[dedup-scaling] sources changed — prior artifact archived "
+                f"to {os.path.basename(keep)}, starting a fresh history")
     results: dict = {"sf_dir": SF_DIR, "source_fingerprint": fp}
 
     def merged(axis: str, key: str, new_leg: dict) -> tuple[dict, list]:
