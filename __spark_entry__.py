@@ -191,7 +191,25 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_DEDUP_SQL = f"""
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM ({_EXACT_COPIES_SQL})
-GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+GROUP BY trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+"""
+
+
+def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup's narrow-shuffle mode: groups on md5(normalized text)
+    — a 16-byte shuffle key instead of the full document, the only sane
+    shape at 10^12 rows. Oracle groups on the same digest in DuckDB, so
+    the distributive equivalence (digest grouping == text grouping absent
+    collisions) is hash-checked cross-engine."""
+    return D.exact_dedup(
+        _with_exact_copies(spark, sf_dir), "text", "doc_id", key="digest"
+    )
+
+
+_EXACT_DEDUP_DIGEST_SQL = f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM ({_EXACT_COPIES_SQL})
+GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
 """
 
 
@@ -200,7 +218,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = """
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
 
@@ -235,9 +253,9 @@ sh AS (
   SELECT doc_id AS id,
          list_distinct(
            list_transform(
-             range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
-             i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                  regexp_split_to_array(trim(text), '\\s+')[i+1]
+             range(1, len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))),
+             i -> regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
            )
          ) AS sh
   FROM base
@@ -287,9 +305,9 @@ sh AS (
   SELECT doc_id AS id,
          list_distinct(
            list_transform(
-             range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
-             i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                  regexp_split_to_array(trim(text), '\\s+')[i+1]
+             range(1, len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))),
+             i -> regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
            )
          ) AS sh
   FROM base
@@ -370,10 +388,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAMING_DEDUP_SQL = f"""
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp,
        min(text) AS caption
 FROM ({_EXACT_COPIES_SQL})
-GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
 """
 
 
@@ -534,7 +552,7 @@ def _simhash_pairs_sql() -> str:
 WITH base AS ({_NEAR_DUPS_SQL}),
 tok AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+         unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \\t\\n\\x0b\\f\\r]+'),
                 x -> x != '')) AS t
   FROM base
 ), h AS (
@@ -589,7 +607,7 @@ def _winnow_cte() -> str:
 base AS ({_NEAR_DUPS_SQL}),
 norm AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+         trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
   FROM base
 ),
 g AS (SELECT doc_id, t, length(t) AS n FROM norm WHERE length(t) >= {k}),
@@ -716,18 +734,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_QUALITY_SQL = """
 WITH t AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tok,
          length(text) AS n,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0b\\f\\r]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
              x -> list_contains(['the','a','of','in','and','to','is','for','with','on',
                                  'el','la','de','en','y','le','et','der','die','und'], x))) AS n_stop
   FROM documents
 )
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0 ELSE n_tok END AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+|[0-9]+|[^\\sA-Za-zÀ-ɏ0-9]')) AS n_bpe,
+       len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+|[0-9]+|[^ \\t\\n\\x0b\\f\\rA-Za-zÀ-ɏ0-9]')) AS n_bpe,
        round(CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END, 6) AS punct_ratio,
        round(CASE WHEN n > 0 THEN n_digit::DOUBLE / n ELSE 0.0 END, 6) AS digit_ratio,
        round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
@@ -2168,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_flags": q_rule_flags,
         "agg_pricing": q_agg_pricing,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_digest": q_exact_dedup_digest,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2217,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "rule_flags": _rule_flags_sql(),
         "agg_pricing": _AGG_PRICING_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "exact_dedup_digest": _EXACT_DEDUP_DIGEST_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # minhash LSH at threshold 0.8 on this corpus has recall 1.0

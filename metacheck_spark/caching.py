@@ -25,15 +25,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def free_local_checkpoint(df: DataFrame) -> None:
+def free_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     """Release the executor storage behind a localCheckpoint()ed frame.
 
     DataFrame.unpersist() is a no-op for checkpoints (their storage is
     RDD-level, not CacheManager-level), so this reaches through to the
     LogicalRDD's backing RDD. The frame is UNUSABLE afterwards — the
     checkpoint truncated its lineage, so there is nothing to recompute
-    from. Release only after the final action over it."""
-    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    from. Release only after the final action over it.
+
+    Only valid on the frame localCheckpoint() RETURNED (analyzed plan
+    root = LogicalRDD): on any derived frame (a select/filter over it)
+    the reach-through would hit a different plan node and raise an
+    opaque Py4JError, so this guards with an explicit plan-class check
+    and says what to pass instead."""
+    root = df._jdf.queryExecution().analyzed()
+    cls = root.getClass().getSimpleName()
+    if cls != "LogicalRDD":
+        raise TypeError(
+            "free_local_checkpoint needs the exact frame "
+            "localCheckpoint() returned (plan root LogicalRDD), got "
+            f"{cls}: pass the checkpointed frame itself, not a "
+            "transformation of it"
+        )
+    root.rdd().unpersist(blocking)
 
 
 class CacheRegistry:
@@ -67,7 +82,7 @@ class CacheRegistry:
         while self._frames:
             self._frames.pop().unpersist(blocking)
         while self._checkpoints:
-            free_local_checkpoint(self._checkpoints.pop())
+            free_local_checkpoint(self._checkpoints.pop(), blocking)
 
     def __enter__(self) -> "CacheRegistry":
         return self

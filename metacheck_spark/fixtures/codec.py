@@ -101,7 +101,16 @@ def header_dims(b: bytes | None) -> tuple[int, int] | None:
     if is_real_jfif(b):
         from metacheck_spark.fixtures import jfif
 
-        if len(b) >= jfif.SOF_WIDTH_OFFSET + 2:
+        # Trust the fixed SOF0 dim offsets only when the SOF0 marker is
+        # actually at the encoder's fixed position (SOF_HEIGHT_OFFSET - 5
+        # = start of the FF C0 marker): a wild JFIF with extra APP1/COM
+        # segments carries the APP0 id but a different layout, and the
+        # honest answer there is "dims unknown", not a misread.
+        sof_pos = jfif.SOF_HEIGHT_OFFSET - 5
+        if (
+            len(b) >= jfif.SOF_WIDTH_OFFSET + 2
+            and b[sof_pos : sof_pos + 2] == b"\xff\xc0"
+        ):
             (h,) = struct.unpack(">H", b[jfif.SOF_HEIGHT_OFFSET : jfif.SOF_HEIGHT_OFFSET + 2])
             (w,) = struct.unpack(">H", b[jfif.SOF_WIDTH_OFFSET : jfif.SOF_WIDTH_OFFSET + 2])
             return (w, h)

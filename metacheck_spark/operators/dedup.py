@@ -20,12 +20,31 @@ from pyspark.sql import types as T
 
 from metacheck_spark.caching import CacheRegistry, persist_owned
 
+# --- pinned cross-engine whitespace contract ---------------------------------
+# Every engine in the verification chain has a different \s: Spark/Java
+# [ \t\n\x0b\f\r] (ASCII), DuckDB/RE2 [ \t\n\f\r] (no \x0b), Python
+# re / pandas str.split() full Unicode (NBSP, U+2028, ...). On the ASCII
+# synthetic corpus they coincide; on real text they silently diverge and
+# break the bit-exact hash oracles. So whitespace is pinned to ONE
+# explicit class — the Java \s set — and every tokenizer/normalizer uses
+# it spelled out instead of its engine's \s:
+#   * pandas kernels (simhash_batch, winnow_batch) via WS_RE / NON_WS_RE,
+#   * DuckDB oracle SQL via SQL_WS_RE (backslash-escaped for SQL literals),
+#   * Spark native regexps may keep \s (it IS this class in Java).
+# Case folding stays a documented domain restriction (utf8proc vs Python
+# vs JVM lower() differ on locale-special folds like U+0130); whitespace
+# no longer is one.
+ASCII_WS = " \t\n\x0b\f\r"
+WS_RE = "[" + ASCII_WS + "]+"  # Python-regex text (real control chars)
+NON_WS_RE = "[^" + ASCII_WS + "]+"
+SQL_WS_RE = "[ \\t\\n\\x0b\\f\\r]+"  # same class, escaped for SQL literals
+
 # --- exact dedup -----------------------------------------------------------
 
 
 def normalized_text(c: Column) -> Column:
     """lower + whitespace-collapse + trim: the canonical form for exact
-    dedup and fingerprinting."""
+    dedup and fingerprinting. Java \\s here == the pinned ASCII_WS class."""
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
@@ -48,13 +67,29 @@ def _fan_out(df: DataFrame, num_partitions: int | str | None = None) -> DataFram
     return df.repartition(int(num_partitions))
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One row per distinct normalized text: the smallest id wins, with the
-    duplicate count. A single hash aggregation (map-side partial agg); at
-    scale, group on the md5 digest rather than the full text to keep
-    shuffle rows narrow."""
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, key: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: the smallest id wins, with
+    the duplicate count. A single hash aggregation (map-side partial agg).
+
+    key="text" groups on the full normalized text — exact by
+    construction, but the shuffle row carries the whole document.
+    key="digest" groups on md5(normalized text): a 16-byte shuffle row
+    regardless of document width, which is the only sane shape at 10^12
+    rows (a 1 KB mean caption would otherwise shuffle ~TBs purely as
+    grouping keys). md5 collisions are ~2^-64 at that scale — the
+    standard content-address tradeoff (same digest git/dedup stores rely
+    on); both modes produce identical output whenever no collision
+    occurs, asserted cross-engine by the driver's exact_dedup oracle."""
+    if key == "digest":
+        grp = F.md5(normalized_text(F.col(text_col))).alias("norm_key")
+    elif key == "text":
+        grp = normalized_text(F.col(text_col)).alias("norm_key")
+    else:
+        raise ValueError(f"exact_dedup key must be 'text' or 'digest', got {key!r}")
     return (
-        df.groupBy(normalized_text(F.col(text_col)).alias("norm_text"))
+        df.groupBy(grp)
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -428,7 +463,11 @@ def simhash_batch(s: pd.Series) -> "pd.Series":
 
     (b1, p1), (b2, p2) = _FNV
     m32 = np.uint64(0xFFFFFFFF)
-    toks_per = s.fillna("").str.lower().str.split()
+    # tokenize on the pinned ASCII class, NOT str.split(): Python's
+    # Unicode whitespace (NBSP, U+2028, ...) would split where DuckDB's
+    # oracle does not, silently breaking the bit-exact contract on real
+    # text. findall(non-ws runs) == split-and-drop-empties.
+    toks_per = s.fillna("").str.lower().str.findall(NON_WS_RE)
     lens = toks_per.str.len().to_numpy(dtype=np.int64)
     out = np.zeros(len(s), dtype=np.uint64)
     nz = lens > 0
@@ -563,11 +602,15 @@ def winnow_batch(
     import numpy as np
 
     basis, prime = _FNV[0]
+    # normalize on the pinned ASCII class (see WS_RE): Python \s and
+    # str.strip() are Unicode-aware, the DuckDB oracle's regex is not —
+    # explicit class + strip(" ") keep the k-gram stream byte-identical
+    # across engines on real text.
     norm = (
         s.fillna("")
         .str.lower()
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
+        .str.replace(WS_RE, " ", regex=True)
+        .str.strip(" ")
     )
     lens = norm.str.len().to_numpy(dtype=np.int64)
     out: list = [[] for _ in range(len(s))]
@@ -785,13 +828,17 @@ def dedup_clusters(
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    # labels is created INSIDE the try: if its eager checkpoint job fails,
+    # the handler must still free the edges checkpoint (created above) or
+    # that storage leaks for the session's lifetime.
+    labels = None
     try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
         for _ in range(max_iters):
             neigh = (
                 edges.join(labels, edges["dst"] == labels["id"])
@@ -837,7 +884,8 @@ def dedup_clusters(
             )
     except BaseException:
         free_local_checkpoint(edges)
-        free_local_checkpoint(labels)
+        if labels is not None:
+            free_local_checkpoint(labels)
         raise
     free_local_checkpoint(edges)
     if caches is not None:

@@ -1,11 +1,19 @@
 """Multimodal (image/audio/video) operators: binary payload + typed
 metadata, processed in Arrow batches via mapInPandas / pandas UDFs.
 
-The container ships no image/audio libraries (no PIL/ffmpeg), so:
-* PNG + the deterministic fake JPEG decode are REAL (fixtures/codec.py);
-* audio decode and video frame-sampling are STUBS raising
-  NotImplementedError, with the Spark-side plumbing (schemas, batch
-  iteration, partitioning) real and tested.
+The container ships no image/audio libraries (no PIL/ffmpeg), so every
+codec here is implemented in-repo and REAL:
+* images: PNG, baseline JFIF (fixtures/jfif.py — full DCT/quant/Huffman
+  round-trip, PSNR >= 40 dB), and the legacy fake-JPEG wrapper, all via
+  fixtures/codec.py;
+* audio: RIFF/WAVE PCM16 header parse + sample decode (audio_features);
+* video: container header parse + offset-seek every-Nth-frame sampling
+  (sample_video_frames — skipped frames are never decompressed).
+All are pytest-verified (tests/test_images_ops.py, tests/test_codec.py).
+At production scale the pure-numpy codecs swap for native ones
+(libjpeg-turbo / ffmpeg) behind the same decode interfaces; the Spark
+plumbing (schemas, Arrow batching, partitioning) is the part that
+carries over unchanged.
 """
 
 from __future__ import annotations

@@ -49,6 +49,14 @@ _JFIF_ID_HEX = "4A464946"  # 'JFIF' at byte 7 (1-based) of a real stream
 # 1-based offsets of the real encoder's fixed SOF0 dim fields (jfif.py)
 _JFIF_SOF_H_POS = 164
 _JFIF_SOF_W_POS = 166
+# 1-based offset of the SOF0 marker itself (FF C0) under this encoder's
+# fixed segment order (SOI 2 + APP0 18 + DQT 69 + DQT 69). The dim
+# offsets are only trusted when this marker is actually there: a JFIF
+# from the wild (extra APP1/COM segments, combined DQT) carries the same
+# APP0 identifier but a different layout, and reading dims at the fixed
+# offsets would yield garbage instead of null.
+_JFIF_SOF_MARKER_POS = 159
+_JFIF_SOF_MARKER_HEX = "FFC0"
 
 
 def _be32(col_expr: str, pos: int) -> Column:
@@ -79,6 +87,13 @@ def binary_sanity_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     is_jfif = is_jpg & (
         F.hex(F.expr(f"substring({bytes_col}, 7, 4)")) == _JFIF_ID_HEX
     )
+    # SOF0 marker present at the fixed offset -> the fixed dim offsets
+    # are valid; otherwise fall through to null (dims unknown), never to
+    # a misread.
+    has_fixed_sof = (
+        F.hex(F.expr(f"substring({bytes_col}, {_JFIF_SOF_MARKER_POS}, 2)"))
+        == _JFIF_SOF_MARKER_HEX
+    )
     magic_fmt = (
         F.when(b.isNull(), F.lit(None).cast("string"))
         .when(is_png, F.lit("png"))
@@ -90,12 +105,18 @@ def binary_sanity_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     long_enough_jpg = F.length(b) >= 12
     hdr_w = (
         F.when(is_png & long_enough_png, _be32(bytes_col, 17))
-        .when(is_jfif & long_enough_jfif, _be16(bytes_col, _JFIF_SOF_W_POS))
+        .when(
+            is_jfif & long_enough_jfif & has_fixed_sof,
+            _be16(bytes_col, _JFIF_SOF_W_POS),
+        )
         .when(is_jpg & ~is_jfif & long_enough_jpg, _be32(bytes_col, 5))
     )
     hdr_h = (
         F.when(is_png & long_enough_png, _be32(bytes_col, 21))
-        .when(is_jfif & long_enough_jfif, _be16(bytes_col, _JFIF_SOF_H_POS))
+        .when(
+            is_jfif & long_enough_jfif & has_fixed_sof,
+            _be16(bytes_col, _JFIF_SOF_H_POS),
+        )
         .when(is_jpg & ~is_jfif & long_enough_jpg, _be32(bytes_col, 9))
     )
     return {"magic_fmt": magic_fmt, "hdr_w": hdr_w, "hdr_h": hdr_h}
@@ -264,6 +285,11 @@ _MODEL_T = T.StructType(
 @F.pandas_udf(_DECODE_T)
 def decode_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     # Imports inside the UDF body run once per worker, not per batch.
+    # The per-image loop is inherent (decoding is per-image; inner work
+    # is numpy). codec.decode is the swap point: at production scale the
+    # pure-numpy JFIF fixture (~100x slower than libjpeg-turbo) is
+    # replaced by a native codec (libjpeg-turbo / Pillow-SIMD) behind
+    # the same bytes -> ndarray signature; nothing else here changes.
     from metacheck_spark.fixtures import codec
 
     for s in batches:
@@ -479,11 +505,26 @@ def reconcile_kept(
     # keep=true BEFORE the anti-join: the predicate reaches the parquet
     # scan (kept_output would filter it anyway, but only after shuffling
     # dropped rows through the join at 10^12-row scale)
+    from pyspark.errors import AnalysisException
+
     audit = spark.read.parquet(audit_path).filter(F.col("keep"))
     try:
         existing = spark.read.parquet(kept_path).select("image_id")
         missing = audit.join(existing, "image_id", "left_anti")
-    except Exception:  # first run: no kept output yet
+    except AnalysisException as e:
+        # ONLY path-not-found means "first run, nothing to diff against".
+        # Any other failure to read the kept table (permission denied,
+        # corrupt footer, transient FS error) must raise: treating it as
+        # first-run would re-append every keep=true row — duplicating
+        # the entire kept output, the opposite of the exactly-once
+        # guarantee this function exists to provide.
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()  # Spark < 4 name
+        )
+        if cond != "PATH_NOT_FOUND":
+            raise
         missing = audit
     obs = Observation("reconcile_kept")
     out = kept_output(missing, salt).observe(obs, F.count(F.lit(1)).alias("n"))

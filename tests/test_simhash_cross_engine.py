@@ -6,11 +6,13 @@ text — including the 32-code-point truncation boundary, non-BMP
 characters (UCS4 vs unicode() agreement), repeated tokens (majority-vote
 ties), empty and null captions.
 
-Domain note (documented, deliberate): separators are ASCII whitespace and
-tokens avoid locale-special case folds (e.g. U+0130), because pandas
-``str.split()``/``str.lower()`` follow Python Unicode semantics while
-DuckDB uses RE2 ``\\s`` (ASCII) and utf8proc lowering. The driver corpus
-lives inside this shared domain; the sweep pins everything inside it.
+Whitespace is PINNED, not restricted: both engines tokenize on the
+explicit ASCII class (dedup.ASCII_WS — the Java \\s set), so the sweep
+deliberately feeds every class member as a separator AND Unicode
+whitespace (NBSP) inside tokens, asserting NBSP is a non-separator in
+both engines. The remaining domain note: tokens avoid locale-special
+case folds (e.g. U+0130), where Python str.lower() and utf8proc lowering
+genuinely differ.
 """
 
 from __future__ import annotations
@@ -22,12 +24,19 @@ from hypothesis import strategies as st
 
 from metacheck_spark.operators.dedup import _FNV, SIMHASH_MAXLEN, simhash_batch
 
-# letters across scripts (incl. non-BMP math bold + emoji), digits, punct
+# letters across scripts (incl. non-BMP math bold + emoji), digits, punct,
+# and NBSP — Unicode whitespace that the pinned contract keeps IN-token
 _TOKEN_CHARS = (
-    "abcXYZ09_-#@éüñßσπ漢字語🙂𝕏"  # noqa: RUF001
+    "abcXYZ09_-#@éüñßσπ漢字語🙂𝕏\u00a0"  # noqa: RUF001  (ends with NBSP)
 )
 _token = st.text(alphabet=_TOKEN_CHARS, min_size=1, max_size=40)
-_caption = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+# every member of the pinned ASCII_WS class appears as a separator
+_sep = st.sampled_from([" ", "\t", "\n", "\x0b", "\f", "\r", "  ", " \t "])
+_caption = st.builds(
+    lambda toks, seps: "".join(t + s for t, s in zip(toks, seps)),
+    st.lists(_token, min_size=0, max_size=12),
+    st.lists(_sep, min_size=12, max_size=12),
+)
 
 
 def _sig_sql() -> str:
@@ -53,7 +62,7 @@ def _sig_sql() -> str:
     return f"""
 WITH tok AS (
   SELECT i, unnest(list_filter(
-           string_split_regex(lower(coalesce(text,'')), '\\s+'),
+           string_split_regex(lower(coalesce(text,'')), '[ \\t\\n\\x0b\\f\\r]+'),
            x -> x != '')) AS t
   FROM docs
 ), h AS (

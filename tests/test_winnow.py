@@ -97,7 +97,7 @@ def _winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     return f"""
 WITH norm AS (
   SELECT i,
-         trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS t
+         trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
   FROM docs
 ),
 g AS (SELECT i, t, length(t) AS n FROM norm WHERE length(t) >= {k}),
@@ -122,9 +122,17 @@ SELECT i, unnest(fps)::BIGINT AS fp FROM win
 """
 
 
-_TOKEN_CHARS = "abcXYZ09_-#@éüñßσπ漢字語🙂𝕏"  # noqa: RUF001
+# NBSP included: Unicode whitespace the pinned ASCII_WS contract keeps
+# IN the normalized text on both engines (it is not a separator)
+_TOKEN_CHARS = "abcXYZ09_-#@éüñßσπ漢字語🙂𝕏\u00a0"  # noqa: RUF001  (ends with NBSP)
 _token = st.text(alphabet=_TOKEN_CHARS, min_size=1, max_size=12)
-_text = st.lists(_token, min_size=0, max_size=8).map(" ".join)
+# separators cover every member of the pinned ASCII_WS class
+_sep = st.sampled_from([" ", "\t", "\n", "\x0b", "\f", "\r", "  ", " \t "])
+_text = st.builds(
+    lambda toks, seps: "".join(t + s for t, s in zip(toks, seps)),
+    st.lists(_token, min_size=0, max_size=8),
+    st.lists(_sep, min_size=8, max_size=8),
+)
 
 
 @settings(max_examples=60, deadline=None)
