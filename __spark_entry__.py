@@ -1828,14 +1828,186 @@ def q_somef_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped JSON-LD assessment documents over the nested
     fixture (sources/jsonld.py — the surface proven exact against the
     executed reference on its own corpus in tests/test_jsonld_parity.py).
-    Rows-only driver check: the JSON string surface has no SQL-expressible
-    oracle; fidelity is pinned by the corpus parity test instead."""
+    Hash-checked since round 4: the oracle (_somef_jsonld_sql) reuses the
+    full nested battery's 27 INDEPENDENT DuckDB predicates to decide
+    which checks fire, renders each firing check's evidence string from
+    the fixture's residue-determined scalar inputs, and assembles the
+    byte-exact JSON document by string concatenation (static fragments
+    json.dumps-escaped from the same jsonld_text tables the Spark side
+    uses — shared data, independent assembly)."""
     from metacheck_spark.sources.jsonld import nested_assessments
 
     df = _nested_fixture_df(spark, sf_dir).withColumn(
         "_file", F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
     )
     return nested_assessments(df, _NESTED_URL_STATUS)
+
+
+def _somef_jsonld_sql() -> str:
+    """DuckDB recomputation of q_somef_jsonld, byte-exact.
+
+    Three independent layers:
+    1. WHICH checks fire — the full nested battery's 27 independent
+       predicates (_SOMEF_NESTED_FULL_SQL, wrapped as a CTE), the same
+       SQL the somef_nested_full oracle is green on.
+    2. Each firing check's EVIDENCE — rendered from the fixture's
+       residue-determined scalar inputs (the evidence is only consumed
+       where the layer-1 flag is true, so each expression needs
+       correctness only on its firing residues).
+    3. The DOCUMENT — assembled by string concatenation in to_json's
+       field order: static fragments are json.dumps-escaped here from
+       the same jsonld_text tables (CODES order, CATEGORIES indicator
+       ids, DESCRIPTIONS process texts, SUGGESTIONS) the Spark side
+       interpolates — shared DATA, independent assembly; to_json's
+       null-field drop (the optional schema:identifier) becomes an
+       explicit conditional fragment.
+    """
+    import json as _json
+
+    from metacheck_spark.sources.jsonld_text import (
+        CATEGORIES,
+        CODES,
+        DESCRIPTIONS,
+        SUGGESTIONS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def jstr(s: str) -> str:
+        # a JSON-encoded string, then SQL-escaped (handles apostrophes)
+        return lit(_json.dumps(s, ensure_ascii=False))
+
+    # layer 2: evidence per code, correct on that code's firing residues
+    ev: dict[str, str] = {
+        "P001": "'P001 detected: codemeta.json version ''1.' || b.m5 || "
+                "'.0'' does not match release version ''2.0.0'''",
+        "P002": lit("P002 detected:  License file contains unreplaced "
+                    "template placeholders"),
+        "W003": lit("W003 detected: Software requirements found without "
+                    "version specifications"),
+        "W004": lit("W004 detected: codemeta.json dateModified "
+                    "'2024-03-01T00:00:00' is outdated compared to "
+                    "repository date '2024-03-10T00:00:00'"),
+        "P005": "'P005 detected: codemeta.json Multiple authors found in "
+                "single field: ''' || CASE b.m3 WHEN 0 THEN 'Alice and Bob' "
+                "ELSE 'The [red, fox] team' END || ''''",
+        "P006": lit("P006 detected:  codemeta.json README property points "
+                    "to homepage/wiki instead of README file: "
+                    "https://proj.readthedocs.io/en/latest"),
+        "P007": lit("P007 detected: codemeta.json Reference publication "
+                    "points to software archive instead of paper: "
+                    "https://zenodo.org/record/9"),
+        "P008": lit("P008 detected: codemeta.json License points to local "
+                    "file instead of license name: './LICENSE.md'"),
+        "W010": lit("W010 detected: codemeta.json Programming languages "
+                    "without versions: Python"),
+        "P011": lit("P011 detected: CITATION.cff file exists but does not "
+                    "contain referencePublication while codemeta.json "
+                    "references it"),
+        "W012": "'W012 detected: Issue detected in doc_' || b.doc_id",
+        "P013": lit("P013 detected: codemeta.json Software requirements "
+                    "contain invalid URLs: https://gone.example.org/a"),
+        "W014": lit("W014 detected: codemeta.json Identifier is a name "
+                    "instead of valid unique identifier: 'mytool'"),
+        "W015": lit("W015 detected: codemeta.json identifier field is "
+                    "empty or missing"),
+        "P016": lit("P016 detected: codemeta.json codeRepository points to "
+                    "homepage instead of repository: "
+                    "https://www.photosite.com/gallery"),
+        "P017": lit("P017 detected: LICENSE file only contains copyright "
+                    "information without actual license terms"),
+        "P018": lit("P018 detected: codemeta.json IssueTracker URL "
+                    "violates expected format: https://x.org/issues  "),
+        "P019": lit("P019 detected: codemeta.json downloadURL is outdated "
+                    "or invalid: https://x.org/archive/v2.0.0"),
+        "P020": lit("P020 detected: codemeta.json developmentStatus is a "
+                    "URL instead of status string: "
+                    "https://www.repostatus.org/#active"),
+        "W021": lit("W021 detected: codemeta.json GivenName is a list "
+                    "instead of string: The [red, fox] team"),
+        "P022": lit("P022 detected: codemeta.json License does not specify "
+                    "version: 'released under GPL'"),
+        "P023": lit("P023 detected: codemeta.json codeRepository uses Git "
+                    "shorthand instead of full URL: "
+                    "'example.com:user/repo.git'"),
+        "P024": "'P024 detected: Identifier uses bare DOI instead of full "
+                "URL: ''doi:10.1234/x' || b.doc_id || ''''",
+        "P025": "'P025 detected: codemeta.json Continuous integration URL "
+                "returns ' || CASE b.m3 WHEN 0 THEN "
+                "'301: https://moved.example.org/a' "
+                "ELSE 'unknown: not a url' END",
+        "P026": lit("P026 detected: codeRepository points to different "
+                    "repository: https://github.com/o/r"),
+        "P027": "'P027 detected: codemeta.json version ''v1.' || b.m5 || "
+                "'.0'' does not match package version'",
+        "P028": lit("P028 detected: codemeta Identifier uses raw SWHID "
+                    "without resolvable URL: "
+                    "'swh:1:rev:abababababababababababababababababababab'"),
+    }
+
+    # layer 3: per-code static check fragments around the evidence
+    frags = []
+    for code in CODES:
+        pre = (
+            '{"@type":"CheckResult","assessesIndicator":{"@id":'
+            f'"https://w3id.org/example/metacheck/i/indicators/{CATEGORIES[code]}"}},'
+            '"checkingSoftware":{"@type":"schema:SoftwareApplication",'
+            '"name":"metacheck","@id":"https://w3id.org/example/metacheck/tools/",'
+            '"softwareVersion":"0.1.0"},'
+            f'"process":{_json.dumps(DESCRIPTIONS[code], ensure_ascii=False)},'
+            '"status":{"@id":"schema:CompletedActionStatus"},'
+            f'"checkId":"{code}","evidence":'
+        )
+        suf = f',"suggestion":{_json.dumps(SUGGESTIONS[code], ensure_ascii=False)}}}'
+        # evidence values on this fixture contain no JSON-special chars,
+        # so the JSON encoding is plain quoting
+        frags.append(
+            f"CASE WHEN f.{code.lower()} THEN {lit(pre)} || '\"' || "
+            f"({ev[code]}) || '\"' || {lit(suf)} END"
+        )
+    checks_list = ",\n      ".join(frags)
+
+    shell_head = (
+        '{"@context":"https://w3id.org/example/metacheck/0.1.0/",'
+        '"@type":"SoftwareQualityAssessment",'
+        '"name":"Quality Assessment for Unknown",'
+        '"description":"Software quality assessment for repository metadata",'
+        '"creator":{"@type":"schema:Person","name":"Anas El Hounsri",'
+        '"email":"a.elhounsri@upm.com"},'
+        '"dateCreated":"1970-01-01T00:00:00Z",'
+        '"license":["@id: https://opensource.org/license/mit"],'
+        '"assessedSoftware":{"@type":"schema:SoftwareApplication",'
+        '"name":"Unknown","softwareVersion":"'
+    )
+    any_fire = " OR ".join(f"f.{c.lower()}" for c in CODES)
+    return f"""
+WITH battery AS ({_SOMEF_NESTED_FULL_SQL}),
+b AS (
+  SELECT doc_id, doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4,
+         doc_id % 5 AS m5, doc_id % 6 AS m6, doc_id % 7 AS m7
+  FROM documents
+)
+SELECT 'doc_' || b.doc_id AS file,
+  {lit(shell_head)}
+  || CASE b.m3 WHEN 0 THEN '1.' || b.m5 || '.0' WHEN 1 THEN '2.0.0'
+       ELSE 'Unknown' END
+  || '","url":"'
+  || CASE b.m4 WHEN 0 THEN 'example.com:user/repo.git'
+       WHEN 1 THEN 'https://www.photosite.com/gallery'
+       WHEN 2 THEN 'git@github.com:o/r.git'
+       ELSE 'https://github.com/o/r' END
+  || '"'
+  || CASE WHEN b.m6 = 5
+       THEN ',"schema:identifier":{{"@id":"https://doi.org/10.1/ok"}}'
+       ELSE '' END
+  || '}},"checks":['
+  || concat_ws(',',
+      {checks_list})
+  || ']}}' AS assessment
+FROM b JOIN battery f USING (doc_id)
+WHERE {any_fire}
+"""
 
 
 # Oracle for the full nested battery. The fixture's controlled arrays make
@@ -2273,6 +2445,10 @@ def oracle_sql() -> dict[str, str]:
         "date_parse": _DATE_PARSE_SQL,
         "somef_nested": _SOMEF_NESTED_SQL,
         "somef_nested_full": _SOMEF_NESTED_FULL_SQL,
+        # byte-exact JSON-LD document assembly: battery predicates decide
+        # which checks fire, evidence rendered from residue inputs,
+        # document concatenated in to_json field order (round-4 ask #3)
+        "somef_jsonld": _somef_jsonld_sql(),
         "lang_sources": _LANG_SOURCES_SQL,
         "length_percentiles": _LENGTH_PERCENTILES_SQL,
         "langid_docs": _langid_docs_sql(),
