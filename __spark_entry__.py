@@ -191,7 +191,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_DEDUP_SQL = f"""
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM ({_EXACT_COPIES_SQL})
-GROUP BY trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+GROUP BY trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
 """
 
 
@@ -209,7 +209,7 @@ def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_DEDUP_DIGEST_SQL = f"""
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM ({_EXACT_COPIES_SQL})
-GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
+GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))
 """
 
 
@@ -218,7 +218,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = """
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS fingerprint
 FROM documents
 """
 
@@ -253,9 +253,9 @@ sh AS (
   SELECT doc_id AS id,
          list_distinct(
            list_transform(
-             range(1, len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))),
-             i -> regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
-                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
+             range(1, len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))),
+             i -> regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
            )
          ) AS sh
   FROM base
@@ -305,9 +305,9 @@ sh AS (
   SELECT doc_id AS id,
          list_distinct(
            list_transform(
-             range(1, len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))),
-             i -> regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
-                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
+             range(1, len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))),
+             i -> regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
            )
          ) AS sh
   FROM base
@@ -388,10 +388,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAMING_DEDUP_SQL = f"""
-SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS fp,
        min(text) AS caption
 FROM ({_EXACT_COPIES_SQL})
-GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
+GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))
 """
 
 
@@ -607,7 +607,7 @@ def _winnow_cte() -> str:
 base AS ({_NEAR_DUPS_SQL}),
 norm AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
+         trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
   FROM base
 ),
 g AS (SELECT doc_id, t, length(t) AS n FROM norm WHERE length(t) >= {k}),
@@ -734,17 +734,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_QUALITY_SQL = """
 WITH t AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tok,
+         len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tok,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0b\\f\\r]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-         len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+         len(list_filter(regexp_split_to_array(trim(lower(text), ' '), '[ \\t\\n\\x0b\\f\\r]+'),
              x -> list_contains(['the','a','of','in','and','to','is','for','with','on',
                                  'el','la','de','en','y','le','et','der','die','und'], x))) AS n_stop
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0 ELSE n_tok END AS n_tokens,
+       CASE WHEN trim(text, ' ') = '' THEN 0 ELSE n_tok END AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+|[0-9]+|[^ \\t\\n\\x0b\\f\\rA-Za-zÀ-ɏ0-9]')) AS n_bpe,
        round(CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END, 6) AS punct_ratio,
        round(CASE WHEN n > 0 THEN n_digit::DOUBLE / n ELSE 0.0 END, 6) AS digit_ratio,
@@ -1567,25 +1567,25 @@ SELECT doc_id,
   -- P001: first metadata-source version (v-stripped) vs releases[1].tag (v-stripped)
   coalesce(
     regexp_replace(trim(list_filter(version, e -> contains(lower(e.source), 'codemeta.json')
-                                               OR contains(lower(e.source), 'package.json'))[1].value), '^[vV]', '')
+                                               OR contains(lower(e.source), 'package.json'))[1].value, ' '), '^[vV]', '')
       IS NOT NULL
     AND len(releases) > 0
-    AND regexp_replace(trim(releases[1].tag), '^[vV]', '') IS NOT NULL
+    AND regexp_replace(trim(releases[1].tag, ' '), '^[vV]', '') IS NOT NULL
     AND regexp_replace(trim(list_filter(version, e -> contains(lower(e.source), 'codemeta.json')
-                                                   OR contains(lower(e.source), 'package.json'))[1].value), '^[vV]', '')
-        != regexp_replace(trim(releases[1].tag), '^[vV]', ''), FALSE) AS p001,
+                                                   OR contains(lower(e.source), 'package.json'))[1].value, ' '), '^[vV]', '')
+        != regexp_replace(trim(releases[1].tag, ' '), '^[vV]', ''), FALSE) AS p001,
   -- P027: codemeta version vs other metadata versions, STRICT compare
   coalesce(
     list_filter(version, e -> contains(lower(e.source), 'codemeta.json'))[1].value IS NOT NULL
     AND len(list_filter(version, e -> NOT contains(lower(e.source), 'codemeta.json')
-                                      AND trim(e.value) != trim(list_filter(version,
-                                          x -> contains(lower(x.source), 'codemeta.json'))[1].value))) > 0,
+                                      AND trim(e.value, ' ') != trim(list_filter(version,
+                                          x -> contains(lower(x.source), 'codemeta.json'))[1].value, ' '))) > 0,
     FALSE) AS p027,
   -- W015: codemeta identifier present-but-blank (null value = the entry
   -- had no 'value' key -> abstain, w015.py:27)
   coalesce(len(identifier) > 0
            AND identifier[1].value IS NOT NULL
-           AND trim(identifier[1].value) = '', FALSE) AS w015
+           AND trim(identifier[1].value, ' ') = '', FALSE) AS w015
 FROM built
 """
 
@@ -2074,17 +2074,17 @@ v2 AS (
   SELECT *,
     regexp_extract(sreq_v, 'https?://[^\s<>"'']+') AS sreq_url,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      lower(trim(repo_v)), '^git\+', ''), '^git@([^:]+):', 'https://\1/'),
+      lower(trim(repo_v, ' ')), '^git\+', ''), '^git@([^:]+):', 'https://\1/'),
       '\.git$', ''), '/$', '') AS repo_norm,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      lower(trim(api_v)), '^git\+', ''), '^git@([^:]+):', 'https://\1/'),
+      lower(trim(api_v, ' ')), '^git\+', ''), '^git@([^:]+):', 'https://\1/'),
       '\.git$', ''), '/$', '') AS api_norm
   FROM vals
 )
 SELECT doc_id,
   coalesce(rel_tag IS NOT NULL AND rel_tag != ''
-           AND trim(regexp_replace(meta_v, '^[vV]', ''))
-             != trim(regexp_replace(rel_tag, '^[vV]', '')), FALSE) AS p001,
+           AND trim(regexp_replace(meta_v, '^[vV]', ''), ' ')
+             != trim(regexp_replace(rel_tag, '^[vV]', ''), ' '), FALSE) AS p001,
   coalesce(m5 < 2 AND regexp_matches(lower(lic_v),
     '(<program>|<year>|<name of author>|<name>|<copyright holders?>|<owner>|<author>|\[year\]|\[fullname\]|\[name\]|\[copyright holder\]|<yyyy>|<name of copyright owner>)'),
     FALSE) AS p002,
@@ -2111,24 +2111,24 @@ SELECT doc_id,
                      OR contains(lower(readme_v), 'readme'))
                 AND NOT contains(string_split(lower(readme_v), '.')[-1], '/')
          ELSE FALSE END, FALSE) AS p006,
-  coalesce(regexp_matches(lower(trim(refpub_v)),
+  coalesce(regexp_matches(lower(trim(refpub_v, ' ')),
     '(zenodo\.org|figshare\.com|github\.com/.*/releases|sourceforge\.net|archive\.org|codeocean\.com|osf\.io|doi\.org/10\.5281)'),
     FALSE) AS p007,
   coalesce(m5 >= 2
-           AND NOT starts_with(lower(trim(lic_v)), 'http://')
-           AND NOT starts_with(lower(trim(lic_v)), 'https://')
+           AND NOT starts_with(lower(trim(lic_v, ' ')), 'http://')
+           AND NOT starts_with(lower(trim(lic_v, ' ')), 'https://')
            AND (starts_with(lic_v, './') OR starts_with(lic_v, '../')
                 OR contains(lic_v, '/') OR contains(lic_v, '\')
-                OR lower(trim(lic_v)) IN ('license','license.md','license.txt','license.rst',
+                OR lower(trim(lic_v, ' ')) IN ('license','license.md','license.txt','license.rst',
                     'copying','copying.md','copying.txt','copyright','copyright.md',
                     'copyright.txt','licence','licence.md','licence.txt','readme.md',
                     'doc.txt','file.rst')
-                OR lower(trim(lic_v)) LIKE '%.md' OR lower(trim(lic_v)) LIKE '%.txt'
-                OR lower(trim(lic_v)) LIKE '%.rst'), FALSE) AS p008,
+                OR lower(trim(lic_v, ' ')) LIKE '%.md' OR lower(trim(lic_v, ' ')) LIKE '%.txt'
+                OR lower(trim(lic_v, ' ')) LIKE '%.rst'), FALSE) AS p008,
   coalesce(lang_ver IS NULL, FALSE) AS w010,
   coalesce(contains(auth_src, 'CITATION.cff'), FALSE) AS p011,
-  coalesce(regexp_matches(trim(req_v), '\s{2,}')
-           OR regexp_matches(trim(req_v), '\s[A-Z][A-Za-z]'), FALSE) AS w012,
+  coalesce(regexp_matches(trim(req_v, ' '), '\s{2,}')
+           OR regexp_matches(trim(req_v, ' '), '\s[A-Z][A-Za-z]'), FALSE) AS w012,
   coalesce(sreq_url != '' AND NOT (
       (CASE sreq_url WHEN 'https://ok.example.org/a' THEN 200
                      WHEN 'https://moved.example.org/a' THEN 301
@@ -2139,23 +2139,23 @@ SELECT doc_id,
               WHEN 'https://gone.example.org/a' THEN 404 END = 301),
     FALSE) AS p013,
   coalesce(ident_v IS NOT NULL AND ident_v != ''
-    AND NOT (CASE WHEN trim(ident_v) = '' THEN FALSE
-                  WHEN regexp_matches(trim(ident_v), '(?i)^doi:10\.\d+/.')
-                       OR regexp_matches(trim(ident_v), '(?i)^10\.\d+/.') THEN TRUE
-                  WHEN lower(trim(ident_v)) IN ('doi:', '10.') THEN FALSE
-                  WHEN regexp_matches(trim(ident_v), '(?i)^https?://.') THEN TRUE
-                  WHEN contains(trim(ident_v), ' ') AND NOT contains(trim(ident_v), '/')
-                       AND NOT contains(trim(ident_v), ':')
-                       AND NOT contains(trim(ident_v), '.') THEN FALSE
-                  WHEN replace(replace(replace(trim(ident_v), ' ', ''), '-', ''), '_', '') != ''
-                       AND regexp_matches(replace(replace(replace(trim(ident_v), ' ', ''), '-', ''), '_', ''), '^[[:alpha:]]+$')
+    AND NOT (CASE WHEN trim(ident_v, ' ') = '' THEN FALSE
+                  WHEN regexp_matches(trim(ident_v, ' '), '(?i)^doi:10\.\d+/.')
+                       OR regexp_matches(trim(ident_v, ' '), '(?i)^10\.\d+/.') THEN TRUE
+                  WHEN lower(trim(ident_v, ' ')) IN ('doi:', '10.') THEN FALSE
+                  WHEN regexp_matches(trim(ident_v, ' '), '(?i)^https?://.') THEN TRUE
+                  WHEN contains(trim(ident_v, ' '), ' ') AND NOT contains(trim(ident_v, ' '), '/')
+                       AND NOT contains(trim(ident_v, ' '), ':')
+                       AND NOT contains(trim(ident_v, ' '), '.') THEN FALSE
+                  WHEN replace(replace(replace(trim(ident_v, ' '), ' ', ''), '-', ''), '_', '') != ''
+                       AND regexp_matches(replace(replace(replace(trim(ident_v, ' '), ' ', ''), '-', ''), '_', ''), '^[[:alpha:]]+$')
                     THEN FALSE
                   ELSE TRUE END)
     AND ident_other IS NOT NULL
-    AND (regexp_matches(trim(ident_other), '(?i)^doi:10\.\d+/.')
-         OR regexp_matches(trim(ident_other), '(?i)^10\.\d+/.')
-         OR regexp_matches(trim(ident_other), '(?i)^https?://.')), FALSE) AS w014,
-  coalesce(ident_v IS NOT NULL AND trim(ident_v) IN ('', '[]', '{}'), FALSE) AS w015,
+    AND (regexp_matches(trim(ident_other, ' '), '(?i)^doi:10\.\d+/.')
+         OR regexp_matches(trim(ident_other, ' '), '(?i)^10\.\d+/.')
+         OR regexp_matches(trim(ident_other, ' '), '(?i)^https?://.')), FALSE) AS w014,
+  coalesce(ident_v IS NOT NULL AND trim(ident_v, ' ') IN ('', '[]', '{}'), FALSE) AS w015,
   coalesce(
     NOT (contains(lower(repo_v), 'github.com/') OR contains(lower(repo_v), 'gitlab.com/')
          OR contains(lower(repo_v), 'bitbucket.org/')
@@ -2181,21 +2181,21 @@ SELECT doc_id,
                    OR regexp_matches(lower(lic_v), 'mit\s+license')
                    OR regexp_matches(lower(lic_v), 'apache\s+license')
                    OR regexp_matches(lower(lic_v), 'terms\s+and\s+conditions'))
-          AND len(list_filter(string_split(lic_v, chr(10)), x -> trim(x) != '')) <= 10)
+          AND len(list_filter(string_split(lic_v, chr(10)), x -> trim(x, ' ') != '')) <= 10)
     ), FALSE) AS p017,
   coalesce(iss_v != '' AND (contains(iss_v, chr(10)) OR contains(iss_v, chr(13))
-           OR iss_v != trim(iss_v) OR contains(iss_v, '  ')), FALSE) AS p018,
+           OR iss_v != trim(iss_v, ' ') OR contains(iss_v, '  ')), FALSE) AS p018,
   coalesce(dl_v IS NOT NULL AND dl_v != ''
            AND regexp_extract(dl_v, '/archive/(?:v)?(\d+\.\d+(?:\.\d+)?(?:[a-zA-Z0-9\-\.]*)?)', 1) != ''
            AND rel_tag IS NOT NULL AND rel_tag != ''
            AND regexp_extract(dl_v, '/archive/(?:v)?(\d+\.\d+(?:\.\d+)?(?:[a-zA-Z0-9\-\.]*)?)', 1)
              != CASE WHEN starts_with(rel_tag, 'v') THEN substr(rel_tag, 2) ELSE rel_tag END,
            FALSE) AS p019,
-  coalesce(lower(trim(dev_v)) != '' AND (
-      regexp_matches(lower(trim(dev_v)), '^https?://')
-      OR regexp_matches(lower(trim(dev_v)), '^www\.')
-      OR contains(lower(trim(dev_v)), '.org') OR contains(lower(trim(dev_v)), '.com')
-      OR contains(lower(trim(dev_v)), '.net')), FALSE) AS p020,
+  coalesce(lower(trim(dev_v, ' ')) != '' AND (
+      regexp_matches(lower(trim(dev_v, ' ')), '^https?://')
+      OR regexp_matches(lower(trim(dev_v, ' ')), '^www\.')
+      OR contains(lower(trim(dev_v, ' ')), '.org') OR contains(lower(trim(dev_v, ' ')), '.com')
+      OR contains(lower(trim(dev_v, ' ')), '.net')), FALSE) AS p020,
   coalesce(auth_src != 'CITATION.cff'
            AND regexp_matches(auth_v, '\[[^\]\n]*,[^\]\n]*\]'), FALSE) AS w021,
   coalesce(m5 >= 2 AND (
@@ -2204,25 +2204,25 @@ SELECT doc_id,
       OR (contains(upper(lic_v), 'AGPL') AND NOT regexp_matches(upper(lic_v), 'AGPL-?\d+(\.\d+)?'))
       OR (contains(upper(lic_v), 'CC') AND NOT regexp_matches(upper(lic_v), 'CC[- ]BY[- ]?\d+(\.\d+)?'))
       OR contains(upper(lic_v), 'BSD')), FALSE) AS p022,
-  coalesce(NOT starts_with(trim(repo_v), 'http://')
-           AND NOT starts_with(trim(repo_v), 'https://')
-           AND regexp_matches(trim(repo_v), '^[a-zA-Z0-9.-]+:[a-zA-Z0-9._/-]+$'),
+  coalesce(NOT starts_with(trim(repo_v, ' '), 'http://')
+           AND NOT starts_with(trim(repo_v, ' '), 'https://')
+           AND regexp_matches(trim(repo_v, ' '), '^[a-zA-Z0-9.-]+:[a-zA-Z0-9._/-]+$'),
            FALSE) AS p023,
   coalesce(ident_v IS NOT NULL
-           AND NOT starts_with(trim(ident_v), 'https://doi.org/')
-           AND (regexp_matches(trim(ident_v), '^doi:10\.\d+/')
-                OR regexp_matches(trim(ident_v), '^10\.\d+/')), FALSE) AS p024,
+           AND NOT starts_with(trim(ident_v, ' '), 'https://doi.org/')
+           AND (regexp_matches(trim(ident_v, ' '), '^doi:10\.\d+/')
+                OR regexp_matches(trim(ident_v, ' '), '^10\.\d+/')), FALSE) AS p024,
   coalesce(NOT (regexp_matches(ci_v, '(?i)^https?://[^/\s]+')
                 AND CASE ci_v WHEN 'https://ok.example.org/a' THEN 200
                         WHEN 'https://moved.example.org/a' THEN 301
                         WHEN 'https://gone.example.org/a' THEN 404 ELSE NULL END
                     BETWEEN 200 AND 299), FALSE) AS p025,
   coalesce(repo_norm != api_norm, FALSE) AS p026,
-  coalesce(trim(pkg_v) != trim(meta_v), FALSE) AS p027,
+  coalesce(trim(pkg_v, ' ') != trim(meta_v, ' '), FALSE) AS p027,
   coalesce(ident_v IS NOT NULL
-           AND NOT starts_with(trim(ident_v), 'http://')
-           AND NOT starts_with(trim(ident_v), 'https://')
-           AND regexp_matches(trim(ident_v), '^swh:1:[a-z]+:[a-f0-9]{40}$'),
+           AND NOT starts_with(trim(ident_v, ' '), 'http://')
+           AND NOT starts_with(trim(ident_v, ' '), 'https://')
+           AND regexp_matches(trim(ident_v, ' '), '^swh:1:[a-z]+:[a-f0-9]{40}$'),
            FALSE) AS p028
 FROM v2
 """

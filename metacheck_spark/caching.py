@@ -48,7 +48,7 @@ def free_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
             f"{cls}: pass the checkpointed frame itself, not a "
             "transformation of it"
         )
-    root.rdd().unpersist(blocking)
+    df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
 
 
 class CacheRegistry:

@@ -824,10 +824,18 @@ def dedup_clusters(
     """
     from metacheck_spark.caching import free_local_checkpoint
 
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Materialize the ONE-directional edge list first: unionAll(e, e')
+    # over an unmaterialized pair plan executes the entire upstream
+    # pair-generation TWICE inside the first checkpoint job (measured 2x
+    # the winnow chain's wall-clock — its pairs aren't persisted, unlike
+    # minhash's). Checkpointing e runs that plan once; the union then
+    # reads the leaf RDD twice, and edge storage is O(E), not O(2E).
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     # labels is created INSIDE the try: if its eager checkpoint job fails,
     # the handler must still free the edges checkpoint (created above) or
     # that storage leaks for the session's lifetime.
@@ -883,11 +891,11 @@ def dedup_clusters(
                 "accepting a silently split cluster"
             )
     except BaseException:
-        free_local_checkpoint(edges)
+        free_local_checkpoint(e)
         if labels is not None:
             free_local_checkpoint(labels)
         raise
-    free_local_checkpoint(edges)
+    free_local_checkpoint(e)
     if caches is not None:
         caches.adopt_checkpoint(labels)
     return labels.select("id", F.col("label").alias("cluster_id"))

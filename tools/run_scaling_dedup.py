@@ -22,9 +22,19 @@ rows, not artificial cross-shard near-dups), plus a seeded near-dup
 variant per 23rd doc so the verify joins and cluster rounds always have
 real work proportional to size.
 
-Usage:  python tools/run_scaling_dedup.py            # both axes
-        python tools/run_scaling_dedup.py --worker CPUS COPIES   # internal
-Writes BENCH_SCALING_DEDUP.json.
+Two chains share the harness (--chain, default minhash):
+
+* minhash — signature agg + band-bucket shuffle + verify joins + label
+  propagation (the LSH shuffle profile); writes BENCH_SCALING_DEDUP.json
+* winnow  — winnow_fingerprints (one Arrow kernel pass) ->
+  winnow_overlap_pairs (fp-bucket pair expansion, MOSS doc-freq cutoff)
+  -> dedup_clusters: a DIFFERENT shuffle profile (fp-bucket key, no
+  signature agg, window-function bucket stats), round-3 verdict ask #4;
+  writes BENCH_SCALING_WINNOW.json
+
+Usage:  python tools/run_scaling_dedup.py [N_LOW] [COPIES]
+        python tools/run_scaling_dedup.py --chain winnow [N_LOW] [COPIES]
+        python tools/run_scaling_dedup.py --worker CPUS COPIES [PASSES] [CHAIN]
 """
 
 from __future__ import annotations
@@ -86,7 +96,8 @@ def _jvm_cpu_sec() -> float:
     return total
 
 
-def worker(cpus: int, copies: int, passes: int = 2) -> None:
+def worker(cpus: int, copies: int, passes: int = 2,
+           chain_kind: str = "minhash") -> None:
     sys.path.insert(0, REPO)
     from metacheck_spark.caching import CacheRegistry
     from metacheck_spark.operators import dedup as D
@@ -102,10 +113,19 @@ def worker(cpus: int, copies: int, passes: int = 2) -> None:
 
     def chain() -> None:
         with CacheRegistry() as caches:
-            pairs = D.minhash_dedup_pairs(
-                docs, "text", "doc_id", threshold=0.8,
-                num_partitions="auto", caches=caches,
-            )
+            if chain_kind == "winnow":
+                # same settings as the bench winnow_dedup query: doc-freq
+                # cutoff kills the template-fp quadratic buckets,
+                # min_shared discriminates real near-dups on this corpus
+                pairs = D.winnow_overlap_pairs(
+                    docs, "text", "doc_id", min_shared=20, max_doc_freq=50,
+                    num_partitions="auto",
+                )
+            else:
+                pairs = D.minhash_dedup_pairs(
+                    docs, "text", "doc_id", threshold=0.8,
+                    num_partitions="auto", caches=caches,
+                )
             labels = D.dedup_clusters(pairs, caches=caches)
             labels.write.format("noop").mode("overwrite").save()
 
@@ -124,6 +144,7 @@ def worker(cpus: int, copies: int, passes: int = 2) -> None:
             best = sec
             best_cpu = _jvm_cpu_sec() - c0
     print(json.dumps({
+        "chain": chain_kind,
         "cpus": cpus, "copies": copies, "rows": n,
         "sec": round(best, 3), "rows_per_sec": round(n / best, 1),
         "jvm_cpu_sec": round(best_cpu, 1),
@@ -167,12 +188,13 @@ def fold_leg(prior: dict, axis: str, key: str,
     return best, hist
 
 
-def run_once(cpus: int, copies: int, passes: int = 2) -> dict:
+def run_once(cpus: int, copies: int, passes: int = 2,
+             chain: str = "minhash") -> dict:
     out = subprocess.run(
         [
             "taskset", "-c", f"0-{cpus - 1}", sys.executable,
             os.path.abspath(__file__), "--worker", str(cpus), str(copies),
-            str(passes),
+            str(passes), chain,
         ],
         cwd=REPO, capture_output=True, text=True, check=True,
     )
@@ -180,12 +202,24 @@ def run_once(cpus: int, copies: int, passes: int = 2) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]),
-               int(sys.argv[4]) if len(sys.argv) > 4 else 2)
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--worker":
+        worker(int(argv[1]), int(argv[2]),
+               int(argv[3]) if len(argv) > 3 else 2,
+               argv[4] if len(argv) > 4 else "minhash")
         return
-    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    base_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    chain = "minhash"
+    if argv and argv[0] == "--chain":
+        chain = argv[1]
+        argv = argv[2:]
+    n_low = int(argv[0]) if argv else 2
+    # winnow's per-row cost is ~5x lighter than minhash's (one kernel
+    # pass vs 64-lane signatures + verify joins), so its default corpus
+    # is 2x larger to keep per-pass work dominant over the ~10s fixed
+    # driver cost of the chain's action boundaries
+    base_copies = int(argv[1]) if len(argv) > 1 else (
+        256 if chain == "winnow" else 128
+    )
 
     log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
 
@@ -195,7 +229,11 @@ def main() -> None:
     # recorded value is the minimum across every invocation run against
     # the current engine sources. A fresh fingerprint (code change)
     # resets the history.
-    out_path = os.path.join(REPO, "BENCH_SCALING_DEDUP.json")
+    out_path = os.path.join(
+        REPO,
+        "BENCH_SCALING_WINNOW.json" if chain == "winnow"
+        else "BENCH_SCALING_DEDUP.json",
+    )
     fp = _source_fingerprint()
     prior: dict = {}
     if os.path.exists(out_path):
@@ -214,7 +252,8 @@ def main() -> None:
                 kf.write("\n")
             log(f"[dedup-scaling] sources changed — prior artifact archived "
                 f"to {os.path.basename(keep)}, starting a fresh history")
-    results: dict = {"sf_dir": SF_DIR, "source_fingerprint": fp}
+    results: dict = {"sf_dir": SF_DIR, "chain": chain,
+                     "source_fingerprint": fp}
 
     def merged(axis: str, key: str, new_leg: dict) -> tuple[dict, list]:
         return fold_leg(prior, axis, key, new_leg)
@@ -230,10 +269,12 @@ def main() -> None:
     # keeps 6.4 of 8 cores busy with ~1% GC — the residual is the tail
     # of the chain's driver-synchronized action boundaries, not
     # serialized dataflow. See BASELINE.md's dedup-scaling section.
-    lo, lo_hist = merged("cores_axis", "low", run_once(n_low, base_copies))
+    lo, lo_hist = merged(
+        "cores_axis", "low", run_once(n_low, base_copies, chain=chain)
+    )
     log(f"[dedup-scaling] cores {n_low}: {lo} (history {lo_hist})")
     hi, hi_hist = merged(
-        "cores_axis", "high", run_once(4 * n_low, base_copies)
+        "cores_axis", "high", run_once(4 * n_low, base_copies, chain=chain)
     )
     log(f"[dedup-scaling] cores {4 * n_low}: {hi} (history {hi_hist})")
     eff = round((hi["rows_per_sec"] / lo["rows_per_sec"]) / 4, 3)
@@ -254,7 +295,8 @@ def main() -> None:
     # doubles as the cores-axis high leg
     cpus = 4 * n_low
     small, small_hist = merged(
-        "input_axis", "x1", run_once(cpus, max(1, base_copies // 8))
+        "input_axis", "x1",
+        run_once(cpus, max(1, base_copies // 8), chain=chain),
     )
     log(f"[dedup-scaling] input 1x (base/8): {small} (history {small_hist})")
     held = round(hi["rows_per_sec"] / small["rows_per_sec"], 3)
