@@ -48,3 +48,14 @@ def test_axes_and_keys_are_independent():
     best, hist = fold_leg(prior, "input_axis", "x1", _leg(13.6))
     assert best["sec"] == 13.6
     assert hist == [13.6]
+
+
+def test_changed_workload_resets_history():
+    """A leg measured over a different corpus size must not min-compare
+    against the recorded one — different work, different wall-clock."""
+    prior = {"cores_axis": {"high": _leg(56.4),
+                            "invocations_sec": {"high": [56.4, 72.3]}}}
+    bigger = dict(_leg(150.0), copies=256, rows=1335652)
+    best, hist = fold_leg(prior, "cores_axis", "high", bigger)
+    assert best is bigger
+    assert hist == [150.0]

@@ -177,12 +177,19 @@ def fold_leg(prior: dict, axis: str, key: str,
     """Fold one freshly-measured leg into a prior artifact's history:
     returns (best leg by wall-clock, sorted per-invocation history).
     Noise on this host only ever ADDS time, so the per-leg minimum is the
-    least-biased estimate of steady-state capability."""
+    least-biased estimate of steady-state capability.
+
+    The fold is only meaningful for the SAME workload: a leg whose row
+    count differs from the recorded one (the corpus size was changed on
+    the command line) starts a fresh history instead of comparing
+    wall-clocks across different amounts of work."""
     old_axis = prior.get(axis, {})
+    old_leg = old_axis.get(key)
+    if old_leg is not None and old_leg.get("rows") != new_leg.get("rows"):
+        return new_leg, [new_leg["sec"]]
     hist = sorted(
         old_axis.get("invocations_sec", {}).get(key, []) + [new_leg["sec"]]
     )
-    old_leg = old_axis.get(key)
     best = (new_leg if old_leg is None
             or new_leg["sec"] <= old_leg["sec"] else old_leg)
     return best, hist
