@@ -148,10 +148,17 @@ def bands_active() -> bool:
     """Bands were recorded at the pinned config; any override invalidates
     them, so adjudication switches off rather than re-running against
     bands measured for a different workload."""
+    # Exact, normalized comparison: resolve symlinks and compare the
+    # directory's basename (endswith would accept 'mysf0.1'), and parse
+    # CPUS numerically ('032' is still the pinned 32).
+    try:
+        cpus_ok = int(CPUS) == 32
+    except ValueError:
+        cpus_ok = False
     return (
-        SF_DIR.rstrip("/").endswith("sf0.1")
+        os.path.basename(os.path.realpath(SF_DIR)) == "sf0.1"
         and IMAGES_ROWS == 60000
-        and CPUS == "32"
+        and cpus_ok
     )
 
 

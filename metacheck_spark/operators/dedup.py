@@ -878,9 +878,16 @@ def dedup_clusters(
                 .select("id", "label")  # checkpoint stores 2 columns only
                 .localCheckpoint(eager=True)
             )
-            changed = int(obs.get["n_changed"] or 0)
-            free_local_checkpoint(labels)
+            # Hand ownership of the freshly materialized checkpoint to
+            # the except-handler BEFORE anything else can raise (obs.get
+            # round-trips to the JVM): the handler frees whatever
+            # `labels` points at, so reassign first, free the stashed
+            # previous frame, and only then read the observation — no
+            # window where a failure leaks a live checkpoint.
+            prev_labels = labels
             labels = new_labels
+            free_local_checkpoint(prev_labels)
+            changed = int(obs.get["n_changed"] or 0)
             if changed == 0:
                 break
         else:

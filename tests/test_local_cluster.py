@@ -159,9 +159,9 @@ WITH RECURSIVE sh AS (
   SELECT doc_id AS id,
          list_distinct(
            list_transform(
-             range(1, len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))),
-             i -> regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
-                  regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
+             range(1, len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+'))),
+             i -> regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+')[i+1]
            )
          ) AS sh
   FROM read_parquet('{docs}')
