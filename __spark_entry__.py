@@ -882,12 +882,17 @@ WITH raw AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 samp AS MATERIALIZED (
-  SELECT vec_id, {norm.format(e='e')} AS v
-  FROM (SELECT vec_id, e FROM raw ORDER BY vec_id LIMIT {sample})
+  -- unbiased deterministic training sample: smallest Knuth hash of the
+  -- id, mirroring train_centroids' hash-ordered TakeOrderedAndProject
+  SELECT vec_id, {norm.format(e='e')} AS v,
+         ((vec_id::BIGINT % 2147483648) * 2654435761) % 2147483648 AS hk
+  FROM (SELECT vec_id, e FROM raw
+        ORDER BY ((vec_id::BIGINT % 2147483648) * 2654435761) % 2147483648,
+                 vec_id LIMIT {sample})
 ),
 nn AS (SELECT count(*) AS n FROM samp),
 ranked AS MATERIALIZED (
-  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rk FROM samp
+  SELECT v, row_number() OVER (ORDER BY hk, vec_id) - 1 AS rk FROM samp
 ),
 cent0 AS MATERIALIZED (
   SELECT t.i AS c, r.v

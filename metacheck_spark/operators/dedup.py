@@ -790,6 +790,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iters: int = 20,
     caches: CacheRegistry | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) connected components over near-dup pairs — the
     step an actual dedup needs beyond pair emission: "keep one doc per
@@ -815,14 +816,44 @@ def dedup_clusters(
     and collapsing core-count scaling to 0.54 efficiency (Amdahl). With
     the checkpoint cut, each round plans against two leaf RDDs. The
     previous round's storage is freed deterministically each round, so
-    memory stays O(V); on a real cluster prefer reliable checkpoints
-    (spark.sparkContext.setCheckpointDir) for executor-loss tolerance.
+    memory stays O(V).
+
+    `checkpoint_dir` switches the per-round truncation from
+    localCheckpoint (executor block storage — lost with the executor) to
+    RELIABLE checkpoints under that directory: on a real cluster this is
+    the executor-loss-tolerant mode (point it at HDFS/object storage).
+    Each round's frame is persist()ed before checkpoint() so the
+    checkpoint-writing job copies cached partitions instead of
+    re-executing the round's plan, then unpersisted. Checkpoint FILES
+    accumulate under the directory (O(V) per round, diameter rounds
+    total); the CALLER owns the directory lifecycle — delete it after
+    the consuming action.
 
     The FINAL labels frame remains checkpoint-backed. Pass `caches` to
     own its release (CacheRegistry.adopt_checkpoint — releasing FREES
-    the data, so only release after the consuming action).
+    the data, so only release after the consuming action; reliable-mode
+    frames are file-backed and survive release).
     """
     from metacheck_spark.caching import free_local_checkpoint
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
+
+    def _free(df: DataFrame) -> None:
+        # reliable-mode frames are backed by checkpoint files, not
+        # executor storage; nothing to free per-round (the caller owns
+        # the directory)
+        if checkpoint_dir is None:
+            free_local_checkpoint(df)
 
     # Materialize the ONE-directional edge list first: unionAll(e, e')
     # over an unmaterialized pair plan executes the entire upstream
@@ -830,9 +861,9 @@ def dedup_clusters(
     # the winnow chain's wall-clock — its pairs aren't persisted, unlike
     # minhash's). Checkpointing e runs that plan once; the union then
     # reads the leaf RDD twice, and edge storage is O(E), not O(2E).
-    e = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = _ckpt(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -841,11 +872,10 @@ def dedup_clusters(
     # that storage leaks for the session's lifetime.
     labels = None
     try:
-        labels = (
+        labels = _ckpt(
             edges.select(F.col("src").alias("id"))
             .distinct()
             .withColumn("label", F.col("id"))
-            .localCheckpoint(eager=True)
         )
         for _ in range(max_iters):
             neigh = (
@@ -876,8 +906,8 @@ def dedup_clusters(
                     ).alias("n_changed"),
                 )
                 .select("id", "label")  # checkpoint stores 2 columns only
-                .localCheckpoint(eager=True)
             )
+            new_labels = _ckpt(new_labels)
             # Hand ownership of the freshly materialized checkpoint to
             # the except-handler BEFORE anything else can raise (obs.get
             # round-trips to the JVM): the handler frees whatever
@@ -886,7 +916,7 @@ def dedup_clusters(
             # window where a failure leaks a live checkpoint.
             prev_labels = labels
             labels = new_labels
-            free_local_checkpoint(prev_labels)
+            _free(prev_labels)
             changed = int(obs.get["n_changed"] or 0)
             if changed == 0:
                 break
@@ -898,11 +928,11 @@ def dedup_clusters(
                 "accepting a silently split cluster"
             )
     except BaseException:
-        free_local_checkpoint(e)
+        _free(e)
         if labels is not None:
-            free_local_checkpoint(labels)
+            _free(labels)
         raise
-    free_local_checkpoint(e)
+    _free(e)
     if caches is not None:
         caches.adopt_checkpoint(labels)
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -219,12 +219,28 @@ def train_centroids(
 
     Fully deterministic AND engine-portable, so the driver oracle
     (_ivf_topk_sql in __spark_entry__) can retrain the quantizer
-    independently in SQL: the sample is the `sample` smallest-id rows
-    (TakeOrderedAndProject — per-partition top-k, no full sort), init
-    centroids are the rows at evenly spaced ranks of that ordered sample
-    (no RNG), argmax ties resolve to the lowest cluster index, and an
-    empty cluster keeps its previous centroid."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    independently in SQL: the sample is the `sample` rows with the
+    smallest Knuth multiplicative hash of the id — an UNBIASED
+    pseudo-random draw (smallest-id sampling biased the quantizer to
+    whatever the low ids happen to contain) that is still a
+    TakeOrderedAndProject (per-partition top-k, no full sort, nothing
+    driver-sorted). The hash is plain 63-bit-safe integer arithmetic,
+    h(id) = ((id mod 2^31) * 2654435761) mod 2^31, so DuckDB computes
+    the identical sample; init centroids are the rows at evenly spaced
+    ranks of that hash-ordered sample (no RNG), argmax ties resolve to
+    the lowest cluster index, and an empty cluster keeps its previous
+    centroid."""
+    hcol = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
+        * F.lit(2654435761),
+        F.lit(2147483648),
+    )
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(hcol.asc(), F.col(id_col).asc())
+        .limit(sample)
+        .collect()
+    )
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n = len(x)

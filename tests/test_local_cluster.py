@@ -142,9 +142,24 @@ def test_dedup_chain_across_executor_boundary(zip_path, tmp_path):
     )
     con.close()
 
+    # Reliable-checkpoint mode (round-5 ask #3): the connected-components
+    # rounds truncate lineage via spark.checkpoint files under ckpt_dir
+    # instead of executor-local block storage — the executor-loss-tolerant
+    # production mode — exercised here under REAL executor JVMs. The
+    # default localCheckpoint mode stays covered by every other dedup
+    # test (local[N] + the r4 local-cluster history).
+    ckpt_dir = str(tmp_path / "ckpt")
     _submit(zip_path, "run_dedup_job.py", [
         "--docs", docs, "--out", out, "--threshold", "0.8",
+        "--checkpoint-dir", ckpt_dir,
     ])
+    ckpt_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckpt_dir)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert ckpt_files, "reliable mode wrote no checkpoint files"
 
     con = duckdb.connect()
     got = dict(

@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="reliable-checkpoint directory (HDFS/object storage on a real "
+        "cluster) for the connected-components rounds; omitting it uses "
+        "executor-local checkpoints",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,7 +54,9 @@ def main(argv: list[str] | None = None) -> None:
             num_partitions="auto",
             caches=caches,
         )
-        clusters = dedup_clusters(pairs, caches=caches)
+        clusters = dedup_clusters(
+            pairs, caches=caches, checkpoint_dir=args.checkpoint_dir
+        )
         clusters.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
     print(f"[dedup] wrote {n} labeled docs to {args.out}")
