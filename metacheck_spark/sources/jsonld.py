@@ -757,34 +757,32 @@ def nested_assessments(
     )
     flagged = M.nested_rule_flags(df, url_status_map)
     ev = evidence_columns(url_status_map)
-    checks = F.filter(
+    # Task-binary discipline (round-5): the serialized stage plan must
+    # carry the 27 evidence expression trees exactly ONCE. The old shape
+    # inlined the full check structs into BOTH the materialized `checks`
+    # column and the to_json(doc) projection, and filter(size(checks)>0)
+    # substituted the tree a third time via predicate pushdown — an
+    # 18+ MiB broadcast task binary per stage. (An explode + broadcast
+    # rule-text-dimension join was measured WORSE: optimizer rules
+    # around Generate re-duplicate the generator's child, 26.8 MiB and
+    # minutes of fixpoint iteration.) So:
+    # * the fired checks carry only (checkId, evidence) — array already
+    #   in CODES order, no sort key needed;
+    # * the static output fragments (indicator id / process /
+    #   suggestion, jsonld_text tables = reference analog
+    #   json_ld_utils.py:54-88,402-436 keyed by checkId) ship ONCE as a
+    #   single ~11 KB map literal that a transform() lambda looks up
+    #   per fired check — not re-rendered into 27 struct literals;
+    # * zero-check documents are dropped by the cheap hit_* disjunction
+    #   (tiny predicate trees), never by size(<giant array expr>) > 0.
+    fired = F.filter(
         F.array(
             *[
                 F.when(
                     F.col(f"hit_{code}"),
                     F.struct(
-                        F.lit("CheckResult").alias("@type"),
-                        F.struct(
-                            F.lit(
-                                "https://w3id.org/example/metacheck/i/indicators/"
-                                + CATEGORIES[code]
-                            ).alias("@id")
-                        ).alias("assessesIndicator"),
-                        F.struct(
-                            F.lit("schema:SoftwareApplication").alias("@type"),
-                            F.lit("metacheck").alias("name"),
-                            F.lit("https://w3id.org/example/metacheck/tools/").alias(
-                                "@id"
-                            ),
-                            F.lit("0.1.0").alias("softwareVersion"),
-                        ).alias("checkingSoftware"),
-                        F.lit(DESCRIPTIONS[code]).alias("process"),
-                        F.struct(
-                            F.lit("schema:CompletedActionStatus").alias("@id")
-                        ).alias("status"),
                         F.lit(code).alias("checkId"),
                         ev[code].alias("evidence"),
-                        F.lit(SUGGESTIONS[code]).alias("suggestion"),
                     ),
                 )
                 for code in CODES
@@ -792,10 +790,48 @@ def nested_assessments(
         ),
         lambda x: x.isNotNull(),
     )
+    statics = F.create_map(
+        *[
+            part
+            for code in CODES
+            for part in (
+                F.lit(code),
+                F.struct(
+                    F.lit(
+                        "https://w3id.org/example/metacheck/i/indicators/"
+                        + CATEGORIES[code]
+                    ).alias("indicator"),
+                    F.lit(DESCRIPTIONS[code]).alias("process"),
+                    F.lit(SUGGESTIONS[code]).alias("suggestion"),
+                ),
+            )
+        ]
+    )
+
+    def _render(c: Column) -> Column:
+        t = F.element_at(statics, c["checkId"])
+        return F.struct(
+            F.lit("CheckResult").alias("@type"),
+            F.struct(t["indicator"].alias("@id")).alias("assessesIndicator"),
+            F.struct(
+                F.lit("schema:SoftwareApplication").alias("@type"),
+                F.lit("metacheck").alias("name"),
+                F.lit("https://w3id.org/example/metacheck/tools/").alias("@id"),
+                F.lit("0.1.0").alias("softwareVersion"),
+            ).alias("checkingSoftware"),
+            t["process"].alias("process"),
+            F.struct(F.lit("schema:CompletedActionStatus").alias("@id")).alias(
+                "status"
+            ),
+            c["checkId"].alias("checkId"),
+            c["evidence"].alias("evidence"),
+            t["suggestion"].alias("suggestion"),
+        )
+
+    checks = F.transform(fired, _render)
     cols_present = set(df.columns)
     name = _first_value(F.col("full_name"))
     desc = _first_value(F.col("description"))
-    ident = _first_value(F.col("identifier"))
     doc = F.struct(
         F.lit("https://w3id.org/example/metacheck/0.1.0/").alias("@context"),
         F.lit("SoftwareQualityAssessment").alias("@type"),
@@ -815,8 +851,30 @@ def nested_assessments(
         assessed_software(cols_present).alias("assessedSoftware"),
         checks.alias("checks"),
     )
-    return (
-        flagged.withColumn("checks", checks)
-        .filter(F.size("checks") > 0)
-        .select(F.col("_file").alias("file"), F.to_json(doc).alias("assessment"))
+    # Zero-check documents are dropped AFTER rendering, in an
+    # Arrow-batched suffix probe on the OUTPUT string: `checks` is the
+    # document's last field, so an empty array renders as a literal
+    # `"checks":[]}` tail (a non-empty array always ends `}]}`, and no
+    # text inside the array can fake the suffix — the char before the
+    # final `}` must be `[`). Every declarative formulation of this drop
+    # was measured to bloat the serialized stage: a flag-derived
+    # predicate (any_hit / size(checks) > 0) either gets the 27
+    # rule/evidence trees re-rendered into the Filter via alias
+    # substitution or — when pinned above with a nondeterministic
+    # barrier — splits the collapsed projection in two (~1.8 MiB task
+    # binary), and a suffix predicate above the collapsed projection
+    # re-serializes it wholesale (~19 MiB); the single collapsed
+    # projection with NO Catalyst filter above it stays under the 1 MiB
+    # broadcast-warning line. mapInPandas is a hard optimizer barrier,
+    # its input is the rendered output itself (the same bytes the S5
+    # sink writes next), and the probe is a vectorized str.endswith —
+    # the same row set as before, one output-sized Arrow hop.
+    out = flagged.select(
+        F.col("_file").alias("file"), F.to_json(doc).alias("assessment")
     )
+
+    def _drop_empty(batches):
+        for pdf in batches:
+            yield pdf[~pdf["assessment"].str.endswith('"checks":[]}')]
+
+    return out.mapInPandas(_drop_empty, "file string, assessment string")
