@@ -11,6 +11,7 @@ contract surface.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2460,7 +2461,29 @@ def oracle_sql() -> dict[str, str]:
         "scrub_docs": _SCRUB_DOCS_SQL,
         "ppl_docs": _ppl_docs_sql(),
         # image_pipeline / image_features / thumbnails / audio / video:
-        # binary decode stages are not SQL-expressible -> rows-only driver
-        # check; value parity vs the pure-Python oracle is asserted in
-        # pytest (tests/test_images_ops.py, tests/test_pipeline.py).
+        # DuckDB cannot decode JFIF/WAV/video containers, so these
+        # oracles compare against FROZEN expected-output parquet tables
+        # committed under metacheck_spark/fixtures/expected/ — derived
+        # row-at-a-time in pure Python from the codec primitives and the
+        # label oracle by tools/gen_expected.py (regeneration is
+        # bit-stable; tests/test_expected_tables.py guards drift), the
+        # same independence contract as fixtures/oracle.py.
+        **_expected_table_sql(),
+    }
+
+
+def _expected_table_sql() -> dict[str, str]:
+    exp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "metacheck_spark", "fixtures", "expected",
+    )
+    return {
+        name: f"SELECT * FROM read_parquet('{exp}/{name}.parquet')"
+        for name in (
+            "image_pipeline",
+            "image_features",
+            "thumbnails",
+            "audio_features",
+            "video_frames",
+        )
     }
