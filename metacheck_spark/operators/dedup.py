@@ -347,9 +347,14 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 2,
     num_partitions: int | str | None = None,
+    observation=None,
 ) -> DataFrame:
     """Candidate duplicate pairs via banding: rows sharing any band
-    signature. Shuffle volume = bands x rows small key/value pairs."""
+    signature. Shuffle volume = bands x rows small key/value pairs.
+    `observation` (pyspark.sql.Observation) collects the bucket-routing
+    metrics (n_buckets / max_bucket_size / star_routed_ids) with the
+    first action — the measurement surface for the adversarial
+    mega-bucket gate (tests/test_megabucket.py)."""
     rows_per_band = num_hashes // bands
     sh = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, num_partitions=num_partitions
@@ -368,7 +373,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.band_sig")
-    return bucketed_candidate_pairs(banded)
+    return bucketed_candidate_pairs(banded, observation=observation)
 
 
 def minhash_dedup_pairs(
@@ -381,6 +386,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 2,
     num_partitions: int | str | None = None,
     caches: CacheRegistry | None = None,
+    observation=None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the standard
     minhash-LSH near-dup pipeline (shingle -> minhash -> band -> bucket
@@ -393,7 +399,7 @@ def minhash_dedup_pairs(
     cands = persist_owned(
         minhash_lsh_candidates(
             df, text_col, id_col, num_hashes, bands, shingle_n,
-            num_partitions=num_partitions,
+            num_partitions=num_partitions, observation=observation,
         ),
         caches,
     )
