@@ -90,4 +90,7 @@ def test_streaming_dedup_cleans_temp_dirs(spark):
     before = set(glob.glob(pat))
     out = E.q_streaming_dedup(spark, "/root/testdata/sf0.001")
     assert out.count() > 0  # result survives the cleanup (materialized)
-    assert set(glob.glob(pat)) == before, "q_streaming_dedup leaked temp dirs"
+    # Leak check = no NEW dirs (not set equality): a concurrent process
+    # running the same query may clean up ITS dirs between the two globs.
+    leaked = set(glob.glob(pat)) - before
+    assert not leaked, f"q_streaming_dedup leaked temp dirs: {leaked}"
