@@ -175,6 +175,20 @@ def _is_structured(e: Column) -> Column:
     return v.isNotNull() & (_is_stringified_array(t) | _is_stringified_object(t))
 
 
+def let(value: Column, body) -> Column:
+    """Catalyst 'let' binding: evaluate `value` once and hand it to
+    `body` as a higher-order-function lambda variable. A Column is an
+    expression TREE, so `f(x) & g(x)` embeds x's whole subtree at every
+    use site — runtime subexpression elimination dedups the WORK, but
+    nothing dedups the PLAN, and serialized task binaries grow with
+    every reuse (measured: tools/measure_task_binary.py / the
+    18.6 MiB somef_jsonld stage). transform(array(x), v -> body(v))[1]
+    keeps one copy of x; every reference inside body is a single
+    NamedLambdaVariable node. Nesting is fine (inner bodies may close
+    over outer lambda variables, standard SQL HOF scoping)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def crash_aware_exists(entries: Column, fires) -> Column:
     """Scan-all / break-on-fire with the reference's CRASH semantics: a
     detector whose predicate calls a str method on a structured value
@@ -189,7 +203,7 @@ def crash_aware_exists(entries: Column, fires) -> Column:
             lambda e: _is_structured(e) | F.coalesce(fires(e), F.lit(False)),
         )
     )
-    return decisive.isNotNull() & ~_is_structured(decisive)
+    return let(decisive, lambda d: d.isNotNull() & ~_is_structured(d))
 
 
 def _is_stringified_array(t: Column) -> Column:
@@ -289,12 +303,15 @@ def p001_version_mismatch(version_cat: Column, releases_cat: Column) -> Column:
     )
     meta_v = normalize_version(first_match(meta_sel)["result"]["value"])
     rel_raw = F.try_element_at(releases_cat, F.lit(1))["result"]["tag"]
-    rel_v = normalize_version(rel_raw)
-    return (
-        meta_v.isNotNull()
-        & rel_raw.isNotNull()
-        & (rel_raw != "")
-        & (meta_v != rel_v)
+    return let(
+        meta_v,
+        lambda mv: let(
+            rel_raw,
+            lambda rr: mv.isNotNull()
+            & rr.isNotNull()
+            & (rr != "")
+            & (mv != normalize_version(rr)),
+        ),
     )
 
 
@@ -319,8 +336,6 @@ def p027_codemeta_version_mismatch(version_cat: Column) -> Column:
         & e["result"]["value"].isNotNull(),
     )
     cm_first = first_match(cm)
-    cm_raw = cm_first["result"]["value"]
-    cm_v = F.trim(cm_raw)
     # other side: NOT codemeta.json (case-sensitive skip, :46), then
     # code_parser OR metadata source — p027.py:48's list compares its
     # uppercase 'DESCRIPTION' against source.lower(), a dead arm, so the
@@ -334,12 +349,20 @@ def p027_codemeta_version_mismatch(version_cat: Column) -> Column:
     # crash semantics: .strip() on a structured value raises (p027.py:84)
     # and the caught exception reads as not-fired — both the selected
     # codemeta value and EVERY other value must be plain strings.
-    return (
-        cm_raw.isNotNull()
-        & (cm_raw != "")
-        & ~_is_structured(cm_first)
-        & ~F.exists(others, _is_structured)
-        & F.exists(others, lambda e: F.trim(e["result"]["value"]) != cm_v)
+    return let(
+        cm_first,
+        lambda cf: let(
+            others,
+            lambda os: cf["result"]["value"].isNotNull()
+            & (cf["result"]["value"] != "")
+            & ~_is_structured(cf)
+            & ~F.exists(os, _is_structured)
+            & F.exists(
+                os,
+                lambda e: F.trim(e["result"]["value"])
+                != F.trim(cf["result"]["value"]),
+            ),
+        ),
     )
 
 
@@ -382,25 +405,30 @@ def p026_repo_mismatch(code_repository_cat: Column) -> Column:
         lambda e: (e["technique"] == "GitHub_API")
         & e["result"]["value"].isNotNull(),
     )
-    api_last = F.when(F.size(apis) > 0, F.try_element_at(apis, F.size(apis)))
-    api = api_last["result"]["value"]
     metas = F.filter(
         code_repository_cat,
         lambda e: (F.coalesce(e["technique"], F.lit("")) != "GitHub_API")
         & F.lower(F.coalesce(e["source"], F.lit(""))).contains("codemeta.json")
         & e["result"]["value"].isNotNull(),
     )
-    return (
-        api.isNotNull()
-        & (api != "")
-        & (F.size(metas) > 0)
-        & ~_is_structured(api_last)
-        & ~F.exists(metas, _is_structured)
-        & F.exists(
-            metas,
-            lambda e: _normalize_repo_url(e["result"]["value"])
-            != _normalize_repo_url(api),
-        )
+    return let(
+        apis,
+        lambda a: let(
+            F.when(F.size(a) > 0, F.try_element_at(a, F.size(a))),
+            lambda al: let(
+                metas,
+                lambda ms: al["result"]["value"].isNotNull()
+                & (al["result"]["value"] != "")
+                & (F.size(ms) > 0)
+                & ~_is_structured(al)
+                & ~F.exists(ms, _is_structured)
+                & F.exists(
+                    ms,
+                    lambda e: _normalize_repo_url(e["result"]["value"])
+                    != _normalize_repo_url(al["result"]["value"]),
+                ),
+            ),
+        ),
     )
 
 
@@ -957,11 +985,22 @@ def w004_stale_vs_codemeta(date_updated_cat: Column) -> Column:
         )
     )["result"]["value"]
 
-    upd, mod = w004_parse_date(api_raw), w004_parse_date(cm_raw)
-    day_diff = F.floor(
-        (F.unix_timestamp(upd) - F.unix_timestamp(mod)) / F.lit(86400)
+    return let(
+        w004_parse_date(api_raw),
+        lambda upd: let(
+            w004_parse_date(cm_raw),
+            lambda mod: upd.isNotNull()
+            & mod.isNotNull()
+            & (upd > mod)
+            & (
+                F.floor(
+                    (F.unix_timestamp(upd) - F.unix_timestamp(mod))
+                    / F.lit(86400)
+                )
+                > 1
+            ),
+        ),
     )
-    return upd.isNotNull() & mod.isNotNull() & (upd > mod) & (day_diff > 1)
 
 
 def _w014_is_valid_identifier(raw: Column) -> Column:
@@ -1007,8 +1046,6 @@ def w014_name_id_while_valid_exists(identifier_cat: Column) -> Column:
             & e["result"]["value"].isNotNull(),
         )
     )
-    cm_raw = cm_first["result"]["value"]
-    cm_invalid = _is_structured(cm_first) | ~_w014_is_valid_identifier(cm_raw)
     other_valid = F.exists(
         F.filter(
             identifier_cat,
@@ -1023,8 +1060,15 @@ def w014_name_id_while_valid_exists(identifier_cat: Column) -> Column:
         lambda e: ~_is_structured(e)
         & _w014_is_valid_identifier(e["result"]["value"]),
     )
-    return (
-        cm_raw.isNotNull() & (cm_raw != "") & cm_invalid & other_valid
+    return let(
+        cm_first,
+        lambda cf: cf["result"]["value"].isNotNull()
+        & (cf["result"]["value"] != "")
+        & (
+            _is_structured(cf)
+            | ~_w014_is_valid_identifier(cf["result"]["value"])
+        )
+        & other_valid,
     )
 
 
@@ -1091,13 +1135,15 @@ def p019_download_url_version_mismatch(download_url_cat: Column,
             & e["result"]["value"].isNotNull(),
         )
     )
-    url = cm_first["result"]["value"]
     _VER = r"(\d+\.\d+(?:\.\d+)?(?:[a-zA-Z0-9\-\.]*)?)"
-    url_v = F.coalesce(
-        F.nullif(F.regexp_extract(url, r"/archive/(?:v)?" + _VER, 1), F.lit("")),
-        F.nullif(F.regexp_extract(url, r"[-_](?:v)?" + _VER + r"\.", 1), F.lit("")),
-        F.nullif(F.regexp_extract(url, r"/(?:v)?" + _VER + r"/[^/]*$", 1), F.lit("")),
-    )
+
+    def _url_v(url: Column) -> Column:
+        return F.coalesce(
+            F.nullif(F.regexp_extract(url, r"/archive/(?:v)?" + _VER, 1), F.lit("")),
+            F.nullif(F.regexp_extract(url, r"[-_](?:v)?" + _VER + r"\.", 1), F.lit("")),
+            F.nullif(F.regexp_extract(url, r"/(?:v)?" + _VER + r"/[^/]*$", 1), F.lit("")),
+        )
+
     rel = F.try_element_at(releases_cat, F.lit(1))
     tag = rel["result"]["tag"]
     name = rel["result"]["name"]
@@ -1110,13 +1156,20 @@ def p019_download_url_version_mismatch(download_url_cat: Column,
             F.nullif(F.regexp_extract(name, r"(?:v)?" + _VER, 1), F.lit("")),
         )
     )
-    return (
-        url.isNotNull()
-        & (url != "")
-        & ~_is_structured(cm_first)
-        & url_v.isNotNull()
-        & rel_v.isNotNull()
-        & (url_v != rel_v)
+    return let(
+        cm_first,
+        lambda cf: let(
+            _url_v(cf["result"]["value"]),
+            lambda uv: let(
+                rel_v,
+                lambda rv: cf["result"]["value"].isNotNull()
+                & (cf["result"]["value"] != "")
+                & ~_is_structured(cf)
+                & uv.isNotNull()
+                & rv.isNotNull()
+                & (uv != rv),
+            ),
+        ),
     )
 
 

@@ -39,18 +39,23 @@ def metadata_source_filename(src: Column) -> Column:
     known = [
         F.when(src.contains(f), F.lit(f)) for f in M._METADATA_FILES_CS
     ]
-    base = F.element_at(F.split(src, r"[/\\]"), -1)
-    ext_ok = F.lit(False)
-    for ext in _META_EXTS:
-        ext_ok = ext_ok | F.lower(base).contains(ext)
-    fallback = F.when(
-        (src.contains("/") | src.contains("\\"))
-        & (base.isin(M._METADATA_FILES_CS) | ext_ok),
-        base,
-    )
+
+    def _with_base(base: Column) -> Column:
+        ext_ok = F.lit(False)
+        for ext in _META_EXTS:
+            ext_ok = ext_ok | F.lower(base).contains(ext)
+        fallback = F.when(
+            (src.contains("/") | src.contains("\\"))
+            & (base.isin(M._METADATA_FILES_CS) | ext_ok),
+            base,
+        )
+        return F.coalesce(*known, fallback, F.lit("metadata files"))
+
     return F.when(
         src.isNull() | (src == ""), F.lit("metadata files")
-    ).otherwise(F.coalesce(*known, fallback, F.lit("metadata files")))
+    ).otherwise(
+        M.let(F.element_at(F.split(src, r"[/\\]"), -1), _with_base)
+    )
 
 
 def _q(v: Column) -> Column:
@@ -64,9 +69,9 @@ def _pyrepr(v: Column) -> Column:
     it as the stringified source JSON, so parse and re-render. Plain
     strings pass through."""
     t = F.trim(v)
-    arr = F.from_json(v, "array<string>")
-    return (
-        F.when(
+    return M.let(
+        F.from_json(v, "array<string>"),
+        lambda arr: F.when(
             M._is_stringified_array(t) & arr.isNotNull() & (F.size(arr) == 0),
             F.lit("[]"),
         )
@@ -74,7 +79,7 @@ def _pyrepr(v: Column) -> Column:
             M._is_stringified_array(t) & arr.isNotNull(),
             F.concat(F.lit("['"), F.array_join(arr, "', '"), F.lit("']")),
         )
-        .otherwise(v)
+        .otherwise(v),
     )
 
 
@@ -97,11 +102,36 @@ def _last_firing(entries: Column, fires) -> Column:
     return F.when(F.size(hits) > 0, F.try_element_at(hits, F.size(hits)))
 
 
-def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, Column]:
+def evidence_columns(
+    url_status_map: dict[str, int] | None = None,
+) -> tuple[list[dict[str, Column]], dict[str, Column]]:
     """code -> evidence string Column (meaningful only where the rule
-    fired). Each reproduces format_evidence_text's branch for that code
-    (json_ld_utils.py:141-315), selecting the same firing entry the
-    detector stored its payload from."""
+    fired), plus the bottom-up LEVELS of intermediate columns the render
+    expressions reference (each level is name -> Column, to be added
+    with .select("*", ...) before the next level / the renders). Each
+    evidence string reproduces format_evidence_text's branch for that
+    code (json_ld_utils.py:141-315), selecting the same firing entry the
+    detector stored its payload from.
+
+    Task-binary discipline (round-5): a render used to be ONE
+    self-contained Column tree, and wrappers like _q (3 references of
+    their argument) and _pyrepr (~5) cloned each ~80-node selector
+    subtree into it 3-15x — the collapsed document projection
+    serialized to 18.6 MiB of Catalyst nodes (measured,
+    tools/measure_task_binary.py). Materializing every selected entry /
+    derived scalar as a named column one level below keeps one copy of
+    each: CollapseProject never inlines a non-cheap alias referenced
+    more than once (canCollapseExpressions), so the lower projections
+    survive optimization and the renders reference attributes. The
+    shared url-status map literal gets its own level for the same
+    reason (it used to be re-inlined per use). Selectors are
+    hit-guarded (F.when(hit_X, sel)) to keep the old lazy-skip
+    semantics: unfired rows evaluate a boolean attribute, not the
+    selector scan, exactly like the previous when(hit, struct(..ev..))
+    shape evaluated lazily under codegen."""
+    lvl0: dict[str, Column] = {}  # shared literals (url-status map)
+    lvl1: dict[str, Column] = {}  # hit-guarded selected entries/values
+    lvl2: dict[str, Column] = {}  # derived scalars over lvl1 columns
     ev: dict[str, Column] = {}
 
     def base(code: str) -> Column:
@@ -109,20 +139,30 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
 
     cols = F.col
 
+    def guard(code: str, c: Column) -> Column:
+        return F.when(cols(f"hit_{code}"), c)
+
     # P001 — normalized versions + metadata_source_file (p001.py:88-99)
     meta_sel = _first_firing(
         cols("version"),
         lambda e: M._source_is_metadata_cs(e) & e["result"]["value"].isNotNull(),
     )
-    mv = M.normalize_version(meta_sel["result"]["value"])
-    rv = M.normalize_version(
-        F.try_element_at(cols("releases"), F.lit(1))["result"]["tag"]
+    lvl1["_evs_p001"] = guard("P001", meta_sel)
+    lvl1["_evs_p001_rv"] = guard(
+        "P001",
+        M.normalize_version(
+            F.try_element_at(cols("releases"), F.lit(1))["result"]["tag"]
+        ),
+    )
+    lvl2["_evd_p001_mv"] = M.normalize_version(
+        cols("_evs_p001")["result"]["value"]
     )
     ev["P001"] = F.concat(
         base("P001"),
-        metadata_source_filename(meta_sel["source"]),
-        F.lit(" version '"), _q(mv),
-        F.lit("' does not match release version '"), _q(rv), F.lit("'"),
+        metadata_source_filename(cols("_evs_p001")["source"]),
+        F.lit(" version '"), _q(cols("_evd_p001_mv")),
+        F.lit("' does not match release version '"),
+        _q(cols("_evs_p001_rv")), F.lit("'"),
     )
 
     ev["P002"] = F.concat(
@@ -134,15 +174,17 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         cols("requirements"),
         lambda e: e["source"].isNotNull() & M._source_is_metadata_cs(e),
     )
+    lvl1["_evs_w003"] = guard("W003", w003_sel)
     # w003 label: req.get("name", req.get("value", "unknown")) — SoMEF
     # requirement results virtually always CARRY a name key (often null),
     # and a present-null name renders the fallback text (the None is
     # filtered, json_ld_utils.py:164); so name-null => fallback, NOT value
-    req_label = w003_sel["result"]["name"]
+    req_label = cols("_evs_w003")["result"]["name"]
     ev["W003"] = F.when(
         req_label.isNotNull(),
         F.concat(
-            base("W003"), metadata_source_filename(w003_sel["source"]),
+            base("W003"),
+            metadata_source_filename(cols("_evs_w003")["source"]),
             F.lit(" contains software requirements without versions: "),
             req_label,
         ),
@@ -171,11 +213,15 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             & e["result"]["value"].isNotNull(),
         )
     )["result"]["value"]
+    lvl1["_evs_w004_api"] = guard("W004", api_raw)
+    lvl1["_evs_w004_cm"] = guard("W004", cm_raw)
+    lvl2["_evd_w004_api_ts"] = M.w004_parse_date(cols("_evs_w004_api"))
+    lvl2["_evd_w004_cm_ts"] = M.w004_parse_date(cols("_evs_w004_cm"))
     ev["W004"] = F.concat(
         base("W004"), F.lit("codemeta.json dateModified '"),
-        _iso(M.w004_parse_date(cm_raw)),
+        _iso(cols("_evd_w004_cm_ts")),
         F.lit("' is outdated compared to repository date '"),
-        _iso(M.w004_parse_date(api_raw)), F.lit("'"),
+        _iso(cols("_evd_w004_api_ts")), F.lit("'"),
     )
 
     # P005 — the firing author value (scalar; dict -> $.name)
@@ -185,10 +231,13 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             M._P005_SEPARATORS
         ),
     )
+    lvl1["_evs_p005"] = guard("P005", p005_sel)
+    lvl2["_evd_p005_val"] = M.scalar_value(cols("_evs_p005"))
     ev["P005"] = F.concat(
-        base("P005"), metadata_source_filename(p005_sel["source"]),
+        base("P005"),
+        metadata_source_filename(cols("_evs_p005")["source"]),
         F.lit(" Multiple authors found in single field: '"),
-        _q(M.scalar_value(p005_sel)), F.lit("'"),
+        _q(cols("_evd_p005_val")), F.lit("'"),
     )
 
     p006_sel = _first_firing(
@@ -199,20 +248,22 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         ),
         lambda e: M.p006_is_homepage_url(M.string_value(e)),
     )
+    lvl1["_evs_p006"] = guard("P006", p006_sel)
     ev["P006"] = F.concat(
         base("P006"),
         F.lit(" codemeta.json README property points to homepage/wiki instead of README file: "),
-        F.coalesce(M.string_value(p006_sel), F.lit("unknown URL")),
+        F.coalesce(M.string_value(cols("_evs_p006")), F.lit("unknown URL")),
     )
 
     p007_sel = _first_firing(
         M.codemeta_or_entries(cols("reference_publication")),
         lambda e: M.p007_is_software_archive_url(M.string_value(e)),
     )
+    lvl1["_evs_p007"] = guard("P007", p007_sel)
     ev["P007"] = F.concat(
         base("P007"),
         F.lit("codemeta.json Reference publication points to software archive instead of paper: "),
-        F.coalesce(M.string_value(p007_sel), F.lit("unknown URL")),
+        F.coalesce(M.string_value(cols("_evs_p007")), F.lit("unknown URL")),
     )
 
     p008_sel = _first_firing(
@@ -222,10 +273,12 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         ),
         lambda e: M.p008_is_local(e["result"]["value"]),
     )
+    lvl1["_evs_p008"] = guard("P008", p008_sel)
     ev["P008"] = F.concat(
-        base("P008"), metadata_source_filename(p008_sel["source"]),
+        base("P008"),
+        metadata_source_filename(cols("_evs_p008")["source"]),
         F.lit(" License points to local file instead of license name: '"),
-        _q(p008_sel["result"]["value"]), F.lit("'"),
+        _q(cols("_evs_p008")["result"]["value"]), F.lit("'"),
     )
 
     # W010 — every null-version codemeta language name (w010.py:32-34)
@@ -238,12 +291,13 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         ),
         lambda e: F.coalesce(e["result"]["name"], F.lit("Unknown")),
     )
+    lvl1["_evs_w010_names"] = guard("W010", w010_names)
     ev["W010"] = F.when(
-        F.size(w010_names) > 0,
+        F.size(cols("_evs_w010_names")) > 0,
         F.concat(
             base("W010"),
             F.lit("codemeta.json Programming languages without versions: "),
-            F.array_join(w010_names, ", "),
+            F.array_join(cols("_evs_w010_names"), ", "),
         ),
     ).otherwise(
         F.concat(
@@ -266,9 +320,10 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
 
     # P013 — invalid URLs of the firing entry, first 3 (json_ld_utils:219-235)
     if url_status_map:
-        status_map = F.create_map(
+        lvl0["_evm_status"] = F.create_map(
             *[F.lit(x) for u, c in url_status_map.items() for x in (u, c)]
         )
+        smap = cols("_evm_status")
 
         def _urls(e: Column) -> Column:
             text = F.coalesce(e["result"]["value"], F.lit(""))
@@ -280,7 +335,7 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
 
         def _inaccessible(u: Column) -> Column:
             valid = u.rlike(r"^(?i)https?://[^/\s]+")
-            s = status_map[F.trim(u)]
+            s = smap[F.trim(u)]
             ok = ((s >= 200) & (s < 300)) | (s == 301)
             return ~(valid & s.isNotNull() & ok)
 
@@ -288,9 +343,14 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             M.metadata_entries(cols("software_requirements")),
             lambda e: (F.size(_urls(e)) > 0) & F.exists(_urls(e), _inaccessible),
         )
-        bad = F.filter(_urls(p013_sel), _inaccessible)
+        lvl1["_evs_p013"] = guard("P013", p013_sel)
+        lvl2["_evd_p013_bad"] = F.filter(
+            _urls(cols("_evs_p013")), _inaccessible
+        )
+        bad = cols("_evd_p013_bad")
         ev["P013"] = F.concat(
-            base("P013"), metadata_source_filename(p013_sel["source"]),
+            base("P013"),
+            metadata_source_filename(cols("_evs_p013")["source"]),
             F.lit(" Software requirements contain invalid URLs: "),
             F.array_join(F.slice(bad, 1, 3), ", "),
             F.when(F.size(bad) > 3, F.lit("...")).otherwise(F.lit("")),
@@ -299,7 +359,7 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         # P025 — status of the firing CI url (json_ld_utils:295-299)
         def _ci_status(e: Column) -> Column:
             u = e["result"]["value"]
-            s = status_map[F.trim(u)]
+            s = smap[F.trim(u)]
             return F.when(
                 u.rlike(r"^(?i)https?://[^/\s]+") & s.isNotNull() & (s >= 0),
                 s.cast("string"),
@@ -310,21 +370,24 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             lambda e: e["result"]["value"].isNotNull()
             & ~(
                 e["result"]["value"].rlike(r"^(?i)https?://[^/\s]+")
-                & status_map[F.trim(e["result"]["value"])].isNotNull()
-                & (status_map[F.trim(e["result"]["value"])] >= 200)
-                & (status_map[F.trim(e["result"]["value"])] < 300)
+                & smap[F.trim(e["result"]["value"])].isNotNull()
+                & (smap[F.trim(e["result"]["value"])] >= 200)
+                & (smap[F.trim(e["result"]["value"])] < 300)
             ),
         )
+        lvl1["_evs_p025"] = guard("P025", p025_sel)
+        lvl2["_evd_p025_status"] = _ci_status(cols("_evs_p025"))
+        lvl2["_evd_p025_rep"] = _pyrepr(cols("_evs_p025")["result"]["value"])
         ev["P025"] = F.concat(
             base("P025"),
             F.lit("codemeta.json Continuous integration URL returns "),
-            _ci_status(p025_sel), F.lit(": "),
+            cols("_evd_p025_status"), F.lit(": "),
             F.when(
-                F.trim(F.coalesce(p025_sel["result"]["value"], F.lit(""))).isin(
-                    "", "[]", "{}"
-                ),
+                F.trim(
+                    F.coalesce(cols("_evs_p025")["result"]["value"], F.lit(""))
+                ).isin("", "[]", "{}"),
                 F.lit("unknown URL"),
-            ).otherwise(_pyrepr(p025_sel["result"]["value"])),
+            ).otherwise(cols("_evd_p025_rep")),
         )
     else:
         ev["P013"] = F.concat(
@@ -340,10 +403,12 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             & e["result"]["value"].isNotNull(),
         )
     )["result"]["value"]
+    lvl1["_evs_w014"] = guard("W014", w014_cm)
+    lvl2["_evd_w014_rep"] = _pyrepr(cols("_evs_w014"))
     ev["W014"] = F.concat(
         base("W014"),
         F.lit("codemeta.json Identifier is a name instead of valid unique identifier: '"),
-        _q(_pyrepr(w014_cm)), F.lit("'"),
+        _q(cols("_evd_w014_rep")), F.lit("'"),
     )
 
     ev["W015"] = F.concat(
@@ -367,10 +432,12 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             )
         ),
     )
+    lvl1["_evs_p016"] = guard("P016", p016_sel)
     ev["P016"] = F.concat(
-        base("P016"), metadata_source_filename(p016_sel["source"]),
+        base("P016"),
+        metadata_source_filename(cols("_evs_p016")["source"]),
         F.lit(" codeRepository points to homepage instead of repository: "),
-        F.coalesce(M.string_value(p016_sel), F.lit("unknown URL")),
+        F.coalesce(M.string_value(cols("_evs_p016")), F.lit("unknown URL")),
     )
 
     ev["P017"] = F.concat(
@@ -382,10 +449,11 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         M.codemeta_or_entries(cols("issues_url")),
         lambda e: M.p018_has_format_violation(M.string_value(e)),
     )
+    lvl1["_evs_p018"] = guard("P018", p018_sel)
     ev["P018"] = F.concat(
         base("P018"),
         F.lit("codemeta.json IssueTracker URL violates expected format: "),
-        F.coalesce(M.string_value(p018_sel), F.lit("unknown URL")),
+        F.coalesce(M.string_value(cols("_evs_p018")), F.lit("unknown URL")),
     )
 
     p019_sel = M.first_match(
@@ -401,19 +469,22 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             & e["result"]["value"].isNotNull(),
         )
     )
+    lvl1["_evs_p019"] = guard("P019", p019_sel)
     ev["P019"] = F.concat(
         base("P019"), F.lit("codemeta.json downloadURL is outdated or invalid: "),
-        F.coalesce(p019_sel["result"]["value"], F.lit("unknown URL")),
+        F.coalesce(cols("_evs_p019")["result"]["value"], F.lit("unknown URL")),
     )
 
     p020_sel = _first_firing(
         M.codemeta_or_entries(cols("development_status")),
         lambda e: M.p020_is_url(M.string_value(e)),
     )
+    lvl1["_evs_p020"] = guard("P020", p020_sel)
+    lvl2["_evd_p020_val"] = M.string_value(cols("_evs_p020"))
     ev["P020"] = F.concat(
         base("P020"),
         F.lit("codemeta.json developmentStatus is a URL instead of status string: "),
-        _q(M.string_value(p020_sel)),
+        _q(cols("_evd_p020_val")),
     )
 
     # w021's entry loop never breaks, so the LAST firing entry's payload
@@ -427,10 +498,13 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             r"\[[^\]\n]*,[^\]\n]*\]"
         ),
     )
+    lvl1["_evs_w021"] = guard("W021", w021_sel)
+    lvl2["_evd_w021_val"] = M.string_value(cols("_evs_w021"))
     ev["W021"] = F.concat(
-        base("W021"), metadata_source_filename(w021_sel["source"]),
+        base("W021"),
+        metadata_source_filename(cols("_evs_w021")["source"]),
         F.lit(" GivenName is a list instead of string: "),
-        _q(M.string_value(w021_sel)),
+        _q(cols("_evd_w021_val")),
     )
 
     def _p022_fires(e: Column) -> Column:
@@ -452,29 +526,37 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         ),
         _p022_fires,
     )
+    lvl1["_evs_p022"] = guard("P022", p022_sel)
+    lvl2["_evd_p022_val"] = M.string_value(cols("_evs_p022"))
     ev["P022"] = F.concat(
-        base("P022"), metadata_source_filename(p022_sel["source"]),
+        base("P022"),
+        metadata_source_filename(cols("_evs_p022")["source"]),
         F.lit(" License does not specify version: '"),
-        _q(M.string_value(p022_sel)), F.lit("'"),
+        _q(cols("_evd_p022_val")), F.lit("'"),
     )
 
     p023_sel = _first_firing(
         M.metadata_or_entries(cols("code_repository")),
         lambda e: M.p023_is_git_remote_shorthand(M.string_value(e)),
     )
+    lvl1["_evs_p023"] = guard("P023", p023_sel)
     ev["P023"] = F.concat(
-        base("P023"), metadata_source_filename(p023_sel["source"]),
+        base("P023"),
+        metadata_source_filename(cols("_evs_p023")["source"]),
         F.lit(" codeRepository uses Git shorthand instead of full URL: '"),
-        F.coalesce(M.string_value(p023_sel), F.lit("unknown URL")), F.lit("'"),
+        F.coalesce(M.string_value(cols("_evs_p023")), F.lit("unknown URL")),
+        F.lit("'"),
     )
 
     p024_sel = _first_firing(
         M.codemeta_or_entries(cols("identifier")),
         lambda e: M.p024_is_bare_doi(M.string_value(e)),
     )
+    lvl1["_evs_p024"] = guard("P024", p024_sel)
+    lvl2["_evd_p024_val"] = M.string_value(cols("_evs_p024"))
     ev["P024"] = F.concat(
         base("P024"), F.lit("Identifier uses bare DOI instead of full URL: '"),
-        _q(M.string_value(p024_sel)), F.lit("'"),
+        _q(cols("_evd_p024_val")), F.lit("'"),
     )
 
     apis = F.filter(
@@ -484,9 +566,10 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
     api_v = F.when(
         F.size(apis) > 0, F.try_element_at(apis, F.size(apis))["result"]["value"]
     )
+    lvl1["_evs_p026"] = guard("P026", api_v)
     ev["P026"] = F.concat(
         base("P026"), F.lit("codeRepository points to different repository: "),
-        F.coalesce(api_v, F.lit("unknown URL")),
+        F.coalesce(cols("_evs_p026"), F.lit("unknown URL")),
     )
 
     p027_cm = M.first_match(
@@ -502,8 +585,9 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
             & e["result"]["value"].isNotNull(),
         )
     )["result"]["value"]
+    lvl1["_evs_p027"] = guard("P027", p027_cm)
     ev["P027"] = F.concat(
-        base("P027"), F.lit("codemeta.json version '"), _q(p027_cm),
+        base("P027"), F.lit("codemeta.json version '"), _q(cols("_evs_p027")),
         F.lit("' does not match package version"),
     )
 
@@ -511,13 +595,15 @@ def evidence_columns(url_status_map: dict[str, int] | None = None) -> dict[str, 
         M.codemeta_or_entries(cols("identifier")),
         lambda e: M.p028_is_raw_swhid(M.string_value(e)),
     )
+    lvl1["_evs_p028"] = guard("P028", p028_sel)
+    lvl2["_evd_p028_val"] = M.string_value(cols("_evs_p028"))
     ev["P028"] = F.concat(
         base("P028"),
         F.lit("codemeta Identifier uses raw SWHID without resolvable URL: '"),
-        _q(M.string_value(p028_sel)), F.lit("'"),
+        _q(cols("_evd_p028_val")), F.lit("'"),
     )
 
-    return ev
+    return [lvl0, lvl1, lvl2], ev
 
 
 TARGET_LANGUAGES = M.TARGET_LANGUAGES
@@ -756,16 +842,29 @@ def nested_assessments(
         )
     )
     flagged = M.nested_rule_flags(df, url_status_map)
-    ev = evidence_columns(url_status_map)
+    levels, ev = evidence_columns(url_status_map)
+    # Each level materializes selector/derived subtrees as named columns
+    # so the renders reference attributes instead of re-cloning the
+    # trees (see evidence_columns docstring); CollapseProject keeps the
+    # lower projections because their aliases are non-cheap and
+    # multi-referenced, and the whole chain stays one narrow stage.
+    for lvl in levels:
+        if lvl:
+            flagged = flagged.select(
+                "*", *[c.alias(n) for n, c in lvl.items()]
+            )
     # Task-binary discipline (round-5): the serialized stage plan must
-    # carry the 27 evidence expression trees exactly ONCE. The old shape
-    # inlined the full check structs into BOTH the materialized `checks`
-    # column and the to_json(doc) projection, and filter(size(checks)>0)
-    # substituted the tree a third time via predicate pushdown — an
-    # 18+ MiB broadcast task binary per stage. (An explode + broadcast
-    # rule-text-dimension join was measured WORSE: optimizer rules
-    # around Generate re-duplicate the generator's child, 26.8 MiB and
-    # minutes of fixpoint iteration.) So:
+    # carry the 27 evidence expression trees exactly ONCE — and, since
+    # the level split above, each selector subtree once rather than the
+    # 3-15 clones the _q/_pyrepr wrappers used to make (18.6 MiB -> see
+    # TASKBINARY.json). The old shape inlined the full check structs
+    # into BOTH the materialized `checks` column and the to_json(doc)
+    # projection, and filter(size(checks)>0) substituted the tree a
+    # third time via predicate pushdown — a 35.7 MiB broadcast task
+    # binary per stage. (An explode + broadcast rule-text-dimension
+    # join was measured WORSE: optimizer rules around Generate
+    # re-duplicate the generator's child, 26.8 MiB and minutes of
+    # fixpoint iteration.) So:
     # * the fired checks carry only (checkId, evidence) — array already
     #   in CODES order, no sort key needed;
     # * the static output fragments (indicator id / process /
